@@ -1,0 +1,70 @@
+"""Shallow SDF / RGB decoder MLPs over plane-atlas features.
+
+Re-derivation of the reference Decoders (src/networks/decoders.py:28-146):
+two independent 2-block MLPs (in=2*c_dim=64, hidden=16) with ReLU, heads
+tanh (sdf, 1-dim) and sigmoid (rgb, 3-dim), plus the learnable sharpness
+beta (init 10).  Parameters live in a plain dict pytree; weights are
+(in, out) matrices so application is feature-major matmuls that XLA fuses
+with the surrounding elementwise work.
+
+Initialization matches torch.nn.Linear's default:
+W, b ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _linear_init(key, fan_in: int, fan_out: int, dtype):
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (fan_out,), dtype, -bound, bound)
+    return w, b
+
+
+def init_decoder_params(
+    key: jax.Array,
+    c_dim: int = 32,
+    hidden: int = 16,
+    n_blocks: int = 2,
+    n_levels: int = 2,
+    beta_init: float = 10.0,
+    dtype=jnp.float32,
+) -> dict:
+    in_dim = n_levels * c_dim
+    keys = jax.random.split(key, 2 * n_blocks + 2)
+    sdf_layers, rgb_layers = [], []
+    d = in_dim
+    for i in range(n_blocks):
+        sdf_layers.append(_linear_init(keys[2 * i], d, hidden, dtype))
+        rgb_layers.append(_linear_init(keys[2 * i + 1], d, hidden, dtype))
+        d = hidden
+    sdf_out = _linear_init(keys[-2], hidden, 1, dtype)
+    rgb_out = _linear_init(keys[-1], hidden, 3, dtype)
+    return {
+        "sdf": [list(l) for l in sdf_layers],
+        "rgb": [list(l) for l in rgb_layers],
+        "sdf_out": list(sdf_out),
+        "rgb_out": list(rgb_out),
+        "beta": jnp.asarray([beta_init], dtype),
+    }
+
+
+def _mlp(layers, out_layer, feat):
+    h = feat
+    for w, b in layers:
+        h = jax.nn.relu(h @ w + b)
+    return h @ out_layer[0] + out_layer[1]
+
+
+def decode_sdf(params: dict, feat: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2*c_dim) features -> (N,) sdf in (-1, 1) (tanh head)."""
+    return jnp.tanh(_mlp(params["sdf"], params["sdf_out"], feat))[..., 0]
+
+
+def decode_rgb(params: dict, feat: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2*c_dim) features -> (N, 3) rgb in (0, 1) (sigmoid head)."""
+    return jax.nn.sigmoid(_mlp(params["rgb"], params["rgb_out"], feat))

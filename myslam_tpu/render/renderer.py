@@ -1,0 +1,147 @@
+"""SDF-density volumetric ray renderer.
+
+Functional re-design of the reference Renderer (src/utils/Renderer.py):
+depth-guided sampling for rays with sensor depth, stratified + importance
+(inverse-CDF) sampling for depth-less rays, SDF->alpha compositing.
+
+Static-shape discipline: every ray in a batch is always rendered; rays the
+reference would have boolean-filtered are instead masked in the loss layer.
+The depth-less branch is computed for all rays and selected per-ray, and is
+only enabled (statically) where the pipeline can see depth-less rays — the
+tracker pre-masks them, so it renders with ``importance=False`` and skips
+the extra coarse pass entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from myslam_tpu.core.geometry import normalize_3d_coordinate, ray_aabb_exit_t
+from myslam_tpu.core.sampling import (
+    depth_guided_z_vals,
+    sample_pdf,
+    uniform_z_vals,
+)
+from myslam_tpu.models.decoders import decode_rgb, decode_sdf
+from myslam_tpu.models.planes import MapState, PlaneLayout
+from myslam_tpu.ops.composite import composite, composite_weights, sdf2alpha
+from myslam_tpu.ops.plane_sample import sample_atlas
+
+
+@dataclass(frozen=True)
+class SceneGeometry:
+    """Static scene/rendering geometry shared by all render calls."""
+
+    sdf_layout: PlaneLayout
+    color_layout: PlaneLayout
+    bound: tuple  # ((xmin, xmax), (ymin, ymax), (zmin, zmax))
+    truncation: float
+    n_stratified: int
+    n_importance: int
+    perturb: bool
+
+    @property
+    def bound_array(self) -> jnp.ndarray:
+        return jnp.asarray(self.bound, dtype=jnp.float32)
+
+    @property
+    def n_samples(self) -> int:
+        return self.n_stratified + self.n_importance
+
+
+def query_sdf(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray):
+    """Raw SDF at normalized points (reference src/networks/decoders.py:87)."""
+    feat = sample_atlas(ms.sdf_atlas, scene.sdf_layout, p_nor)
+    return decode_sdf(ms.decoder, feat)
+
+
+def query_rgb(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray):
+    """Raw RGB at normalized points (reference src/networks/decoders.py:107)."""
+    feat = sample_atlas(ms.color_atlas, scene.color_layout, p_nor)
+    return decode_rgb(ms.decoder, feat)
+
+
+def query_raw(ms: MapState, scene: SceneGeometry, pts: jnp.ndarray):
+    """World points (..., 3) -> (..., 4) [rgb, sdf].
+
+    Reference src/networks/decoders.py:127-146.
+    """
+    shape = pts.shape
+    p_nor = normalize_3d_coordinate(pts.reshape(-1, 3), scene.bound_array)
+    sdf = query_sdf(ms, scene, p_nor)
+    rgb = query_rgb(ms, scene, p_nor)
+    return jnp.concatenate([rgb, sdf[:, None]], axis=-1).reshape(
+        shape[:-1] + (4,)
+    )
+
+
+def build_z_vals(
+    key: jax.Array,
+    ms: MapState,
+    scene: SceneGeometry,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    importance: bool,
+) -> jnp.ndarray:
+    """Per-ray sample depths, (R, n_stratified + n_importance).
+
+    Depth-valid rays get the depth-guided schedule; when ``importance`` is
+    statically on, depth-less rays instead get stratified-to-bbox-exit plus
+    inverse-CDF importance samples from a no-grad coarse SDF pass
+    (reference src/utils/Renderer.py:85-134).
+    """
+    k_surf, k_uni, k_pdf = jax.random.split(key, 3)
+    z_depth = depth_guided_z_vals(
+        k_surf, gt_depth, scene.truncation, scene.n_stratified,
+        scene.n_importance, scene.perturb,
+    )
+    if not importance:
+        return z_depth
+
+    rays_o_ng = jax.lax.stop_gradient(rays_o)
+    rays_d_ng = jax.lax.stop_gradient(rays_d)
+    far = ray_aabb_exit_t(rays_o_ng, rays_d_ng, scene.bound_array) + 0.01
+    z_uni = uniform_z_vals(k_uni, far, scene.n_stratified, scene.perturb)
+    pts_uni = rays_o_ng[:, None, :] + rays_d_ng[:, None, :] * z_uni[..., None]
+    p_nor = normalize_3d_coordinate(
+        pts_uni.reshape(-1, 3), scene.bound_array
+    )
+    ms_ng = jax.lax.stop_gradient(ms)
+    sdf_uni = query_sdf(ms_ng, scene, p_nor).reshape(z_uni.shape)
+    alpha_uni = sdf2alpha(sdf_uni, ms_ng.decoder["beta"][0])
+    w_uni = composite_weights(alpha_uni)
+    z_mid = 0.5 * (z_uni[..., 1:] + z_uni[..., :-1])
+    z_samples = sample_pdf(
+        k_pdf, z_mid, w_uni[..., 1:-1], scene.n_importance
+    )
+    z_nodepth = jnp.sort(
+        jnp.concatenate([z_uni, z_samples], axis=-1), axis=-1
+    )
+    return jnp.where((gt_depth > 0)[:, None], z_depth, z_nodepth)
+
+
+def render_rays(
+    key: jax.Array,
+    ms: MapState,
+    scene: SceneGeometry,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    importance: bool,
+):
+    """Render a batch of rays.
+
+    Returns (depth (R,), color (R, 3), sdf (R, N), z_vals (R, N)) —
+    the reference's render_batch_ray contract (src/utils/Renderer.py:63-147).
+    """
+    z_vals = build_z_vals(key, ms, scene, rays_o, rays_d, gt_depth, importance)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    raw = query_raw(ms, scene, pts)  # (R, N, 4)
+    sdf = raw[..., -1]
+    alpha = sdf2alpha(sdf, ms.decoder["beta"][0])
+    depth, color, _ = composite(alpha, z_vals, raw[..., :3])
+    return depth, color, sdf, z_vals

@@ -1,0 +1,17 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes a backend.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the shell may pin JAX_PLATFORMS=axon
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

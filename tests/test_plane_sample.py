@@ -1,0 +1,119 @@
+"""Plane atlas sampling vs a torch.grid_sample oracle (CPU torch).
+
+The reference's hottest op is F.grid_sample(bilinear, border,
+align_corners=True) over 12 planes; our fused-atlas gather must reproduce
+it bit-for-bit-ish (fp32 tolerance), including out-of-range clamping and
+gradients w.r.t. both the planes and the coordinates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from myslam_tpu.models.planes import ORIENTATIONS, make_layout
+from myslam_tpu.ops.plane_sample import sample_atlas
+
+BOUND = [[-1.9, 7.94], [-2.2, 4.52], [-2.5, 2.54]]
+C_DIM = 8
+
+
+def make_atlas_and_planes(layout, seed=0):
+    """Random atlas plus equivalent per-plane torch tensors."""
+    rng = np.random.default_rng(seed)
+    atlas = rng.normal(size=(layout.total_rows, C_DIM)).astype(np.float32)
+    planes = []  # [(level, ori)] -> torch (1, C, H, W)
+    for lvl in range(layout.n_levels):
+        row = []
+        for ori in range(3):
+            h, w = layout.shapes[lvl][ori]
+            off = layout.offsets[lvl][ori]
+            p = atlas[off:off + h * w].reshape(h, w, C_DIM)
+            row.append(torch.from_numpy(p.transpose(2, 0, 1)[None].copy()))
+        planes.append(row)
+    return atlas, planes
+
+
+def torch_reference_features(planes, p_nor):
+    """Reference feature computation (src/networks/decoders.py:64-85)."""
+    vgrid = torch.from_numpy(p_nor)[None, :, None]  # (1, N, 1, 3)
+    feats = []
+    for row in planes:
+        acc = 0
+        for ori, (au, av) in enumerate(ORIENTATIONS):
+            g = F.grid_sample(
+                row[ori], vgrid[..., [au, av]], padding_mode="border",
+                align_corners=True, mode="bilinear",
+            ).squeeze().transpose(0, 1)
+            acc = acc + g
+        feats.append(acc)
+    return torch.cat(feats, dim=-1).numpy()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_grid_sample(seed):
+    layout = make_layout(jnp.asarray(BOUND), [0.24, 0.06], C_DIM)
+    atlas, planes = make_atlas_and_planes(layout, seed)
+    rng = np.random.default_rng(seed + 10)
+    # include points outside [-1, 1] to exercise border padding
+    p_nor = rng.uniform(-1.3, 1.3, size=(512, 3)).astype(np.float32)
+
+    ours = np.asarray(sample_atlas(jnp.asarray(atlas), layout, jnp.asarray(p_nor)))
+    theirs = torch_reference_features(planes, p_nor)
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-5)
+
+
+def test_atlas_gradient_matches_grid_sample():
+    layout = make_layout(jnp.asarray(BOUND), [0.24], C_DIM)
+    atlas, planes = make_atlas_and_planes(layout, 3)
+    rng = np.random.default_rng(11)
+    p_nor = rng.uniform(-1.1, 1.1, size=(128, 3)).astype(np.float32)
+
+    def loss_jax(a):
+        return jnp.sum(jnp.sin(sample_atlas(a, layout, jnp.asarray(p_nor))))
+
+    g_ours = np.asarray(jax.grad(loss_jax)(jnp.asarray(atlas)))
+
+    tplanes = [p.clone().requires_grad_(True) for p in planes[0]]
+    vgrid = torch.from_numpy(p_nor)[None, :, None]
+    acc = 0
+    for ori, (au, av) in enumerate(ORIENTATIONS):
+        acc = acc + F.grid_sample(
+            tplanes[ori], vgrid[..., [au, av]], padding_mode="border",
+            align_corners=True, mode="bilinear",
+        ).squeeze().transpose(0, 1)
+    torch.sum(torch.sin(acc)).backward()
+
+    for ori in range(3):
+        h, w = layout.shapes[0][ori]
+        off = layout.offsets[0][ori]
+        g_plane = g_ours[off:off + h * w].reshape(h, w, C_DIM).transpose(2, 0, 1)
+        np.testing.assert_allclose(
+            g_plane, tplanes[ori].grad[0].numpy(), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_coordinate_gradient_matches_grid_sample():
+    layout = make_layout(jnp.asarray(BOUND), [0.24], C_DIM)
+    atlas, planes = make_atlas_and_planes(layout, 4)
+    rng = np.random.default_rng(12)
+    p_nor = rng.uniform(-0.95, 0.95, size=(64, 3)).astype(np.float32)
+
+    def loss_jax(p):
+        return jnp.sum(jnp.sin(sample_atlas(jnp.asarray(atlas), layout, p)))
+
+    g_ours = np.asarray(jax.grad(loss_jax)(jnp.asarray(p_nor)))
+
+    tp = torch.from_numpy(p_nor).clone().requires_grad_(True)
+    vgrid = tp[None, :, None]
+    acc = 0
+    for ori, (au, av) in enumerate(ORIENTATIONS):
+        idx = torch.tensor([au, av])
+        acc = acc + F.grid_sample(
+            planes[0][ori], vgrid[..., idx], padding_mode="border",
+            align_corners=True, mode="bilinear",
+        ).squeeze().transpose(0, 1)
+    torch.sum(torch.sin(acc)).backward()
+    np.testing.assert_allclose(g_ours, tp.grad.numpy(), atol=3e-4, rtol=1e-3)
