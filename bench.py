@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end SLAM throughput on the synthetic room workload.
+
+Runs the full tracking+mapping pipeline at the reference's Replica
+operating point (680x1200 RGB-D, 2000 tracking px x 8 iters, 4000 mapping
+px x 15 iters every 4th frame, 40 samples/ray) on real hardware, and
+prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+`vs_baseline` compares against REFERENCE_FPS, the reference ESLAM's
+end-to-end Replica throughput. The repo publishes no numbers and CUDA is
+unavailable here, so this constant is the paper-derived estimate
+(~0.18 s/frame on an RTX 3090-class GPU, arXiv 2211.11704); re-measure
+when the reference can be run.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 5.5
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=120)
+    parser.add_argument("--warmup-frames", type=int, default=24,
+                        help="frames excluded from timing (jit compiles)")
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny fast configuration for quick checks")
+    parser.add_argument("--output", type=str, default="/tmp/myslam_bench")
+    args = parser.parse_args()
+
+    import os
+    repo = os.path.dirname(os.path.abspath(__file__))
+    from myslam_tpu.engine.scheduler import SLAMSystem
+    from myslam_tpu.utils.config import load_config
+
+    scene_cfg = ("room_smoke.yaml" if args.smoke else "room.yaml")
+    cfg = load_config(
+        os.path.join(repo, "configs", "Synthetic", scene_cfg),
+        os.path.join(repo, "configs", "myslam.yaml"))
+    cfg["data"]["n_frames"] = args.frames
+
+    slam = SLAMSystem(cfg, output=args.output, seed=0)
+    t0 = time.time()
+    slam.run()
+    wall = time.time() - t0
+
+    times = np.array(slam.frame_times)
+    steady = times[min(args.warmup_frames, len(times) - 1):]
+    fps = 1.0 / np.mean(steady) if len(steady) else 0.0
+
+    t_err = np.linalg.norm(
+        slam.estimates[1:, :3, 3] - slam.gt_poses[1:, :3, 3], axis=-1)
+    ate_rmse_cm = float(np.sqrt(np.mean(t_err ** 2)) * 100)
+
+    print(json.dumps({
+        "metric": "synthetic_room_e2e_frames_per_s",
+        "value": round(float(fps), 3),
+        "unit": "frames/s",
+        "vs_baseline": round(float(fps) / REFERENCE_FPS, 3),
+        "ate_rmse_cm": round(ate_rmse_cm, 3),
+        "frames": len(times),
+        "wall_s": round(wall, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

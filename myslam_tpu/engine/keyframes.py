@@ -1,0 +1,145 @@
+"""Keyframe store (fixed-capacity device ring) and window selection.
+
+The reference keeps keyframes as a Python list of full-resolution GPU
+tensors (src/Mapper.py:429-432) and picks the bundle-adjustment window by
+projecting sparse samples of the current frame into every older keyframe's
+frustum (src/Mapper.py:146-209).
+
+TPU-native redesign: imagery lives in pre-allocated device arrays
+(color fp16, depth fp32) indexed by keyframe slot; the frustum-overlap
+scores for ALL slots are computed by one jitted program with static
+shapes (inactive slots masked), and only the tiny eligible-set
+permutation happens on host.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myslam_tpu.core.geometry import invert_pose, project_points, rays_from_uv
+from myslam_tpu.core.sampling import gather_pixels, sample_pixels
+from myslam_tpu.engine.camera import Camera
+
+
+@jax.jit
+def _write_slot(buf, slot, value):
+    return buf.at[slot].set(value.astype(buf.dtype))
+
+
+# Buffer-donating variant: XLA aliases input and output so the multi-GB
+# imagery buffers are updated in place instead of copied per write.
+_write_slot_donated = jax.jit(
+    lambda buf, slot, value: buf.at[slot].set(value.astype(buf.dtype)),
+    donate_argnums=(0,),
+)
+
+
+class KeyframeStore:
+    """Fixed-capacity device-resident keyframe imagery + poses."""
+
+    def __init__(self, capacity: int, cam: Camera, color_dtype=jnp.float16):
+        self.capacity = capacity
+        self.cam = cam
+        self.count = 0
+        self.frame_ids: list[int] = []
+        self.colors = jnp.zeros((capacity, cam.H, cam.W, 3), color_dtype)
+        self.depths = jnp.zeros((capacity, cam.H, cam.W), jnp.float32)
+        self.est_c2w = jnp.tile(jnp.eye(4), (capacity, 1, 1))
+        self.gt_c2w = jnp.tile(jnp.eye(4), (capacity, 1, 1))
+
+    def write_imagery(self, slot: int, color, depth) -> None:
+        """In-place (donated) write of one slot's color+depth."""
+        self.colors = _write_slot_donated(self.colors, slot, color)
+        self.depths = _write_slot_donated(self.depths, slot, depth)
+
+    def add(self, frame_id: int, color, depth, est_c2w, gt_c2w) -> int:
+        if self.count >= self.capacity:
+            raise RuntimeError("keyframe store full")
+        pos = self.count
+        self.write_imagery(pos, color, depth)
+        self.est_c2w = _write_slot(self.est_c2w, pos, est_c2w)
+        self.gt_c2w = _write_slot(self.gt_c2w, pos, gt_c2w)
+        self.frame_ids.append(int(frame_id))
+        self.count += 1
+        return pos
+
+    def set_est_poses(self, slots: np.ndarray, poses: jnp.ndarray) -> None:
+        """Write optimized c2w matrices back for the given slots."""
+        self.est_c2w = self.est_c2w.at[jnp.asarray(slots)].set(poses)
+
+
+def make_overlap_scorer(cam: Camera, num_rays: int = 50, num_samples: int = 8,
+                        edge: int = 20):
+    """Jitted frustum-overlap scores of the current frame vs all keyframes.
+
+    Returns score(kf_c2w (cap,4,4), n_scored, cur_c2w, gt_depth, key)
+      -> (cap,) fraction of current-frame surface samples inside each
+      keyframe's frustum; -1 for slots >= n_scored.
+    Reference src/Mapper.py:146-209.
+    """
+
+    def score(kf_c2w, n_scored, cur_c2w, gt_depth, key):
+        i, j = sample_pixels(key, num_rays, 0, cam.H, 0, cam.W)
+        d = gather_pixels(gt_depth, i, j)
+        rays_o, rays_d = rays_from_uv(i, j, cur_c2w, cam.fx, cam.fy, cam.cx, cam.cy)
+        valid = d > 0
+        t_vals = jnp.linspace(0.0, 1.0, num_samples)
+        near = 0.8 * d[:, None]
+        far = d[:, None] + 0.5
+        z = near * (1 - t_vals)[None, :] + far * t_vals[None, :]
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        pts = pts.reshape(-1, 3)
+        pt_valid = jnp.repeat(valid, num_samples)
+
+        w2cs = invert_pose(kf_c2w)  # (cap, 4, 4)
+        u, v, zc = project_points(
+            pts[None, :, :], w2cs[:, None, :, :], cam.fx, cam.fy, cam.cx, cam.cy
+        )
+        inside = (
+            (u < cam.W - edge) & (u > edge) & (v < cam.H - edge) & (v > edge)
+            & (zc < 0) & pt_valid[None, :]
+        )
+        n_valid = jnp.maximum(jnp.sum(pt_valid), 1)
+        pct = jnp.sum(inside, axis=1) / n_valid
+        slot_ids = jnp.arange(kf_c2w.shape[0])
+        return jnp.where(slot_ids < n_scored, pct, -1.0)
+
+    return jax.jit(score)
+
+
+def select_window(
+    rng: np.random.Generator,
+    scorer,
+    store: KeyframeStore,
+    cur_c2w: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    window_size: int,
+    key: jax.Array,
+    method: str = "overlap",
+) -> list[int]:
+    """Choose keyframe slots for the BA window (current frame excluded).
+
+    Mirrors the reference policy (src/Mapper.py:235-247): up to
+    window_size-1 slots drawn from keyframes older than the last two
+    (overlap-weighted or globally random), plus the last two keyframes,
+    sorted ascending (oldest first — the oldest gets its pose frozen).
+    """
+    n = store.count
+    if n == 0:
+        return []
+    picked: list[int] = []
+    if n > 2:
+        if method == "overlap":
+            scores = np.asarray(
+                scorer(store.est_c2w, n - 2, cur_c2w, gt_depth, key)
+            )
+            eligible = np.nonzero(scores[: n - 2] > 0)[0]
+        else:  # 'global'
+            eligible = np.arange(max(n - 2, 0))
+        perm = rng.permutation(len(eligible))
+        picked = [int(eligible[p]) for p in perm[: window_size - 1]]
+    if n > 1:
+        picked = sorted(picked + [n - 1, n - 2])
+    return picked

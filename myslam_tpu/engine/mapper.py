@@ -1,0 +1,172 @@
+"""Mapping / windowed bundle adjustment as one jitted device program.
+
+Re-design of the reference Mapper's optimize_mapping
+(src/Mapper.py:211-364): the whole multi-iteration joint optimization of
+{plane atlases, decoders, (optionally) window poses} runs as a lax.scan
+inside a single jit, with the keyframe window described by STATIC-shape
+slot arrays:
+
+  * the window has W_MAX slots; slot i holds an index into the keyframe
+    store's image buffers (the current frame occupies a scratch slot);
+  * the per-iteration ray budget N is split round-robin over the active
+    slots (ray r reads from slot r % n_active), reproducing the
+    reference's pixels-per-image split without shape specialization;
+  * pose freezing (oldest window frame; all frames when joint_opt is
+    off) is a per-slot 0/1 mask applied via stop_gradient.
+
+The optimizer is rebuilt fresh per call (so Adam moments reset per mapped
+frame, matching the reference constructing torch.optim.Adam per call) with
+the reference's per-group learning rates (src/Mapper.py:291-306).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from myslam_tpu.core.geometry import ray_aabb_exit_t, rays_from_uv
+from myslam_tpu.core.losses import color_loss, depth_loss, sdf_losses
+from myslam_tpu.core.quaternion import cam_pose_to_matrix
+from myslam_tpu.engine.camera import Camera
+from myslam_tpu.models.planes import MapState
+from myslam_tpu.render.renderer import SceneGeometry, render_rays
+
+
+def make_mapper(
+    cfg: dict,
+    scene: SceneGeometry,
+    cam: Camera,
+    iters: int,
+    lr_factor: float,
+    ray_sharding=None,
+):
+    """Build a jitted mapping step for a fixed iteration count / lr factor.
+
+    Two instances cover the reference's schedules: (iters_first,
+    lr_first_factor) for frame 0 and (iters, lr_factor) afterwards
+    (src/Mapper.py:412-417).
+
+    Returns map_step(ms, poses7 (W,7), pose_mask (W,), slot_kf (W,),
+                     n_slots, kf_colors, kf_depths, key)
+      -> (ms, poses7, losses (iters,))
+    """
+    m = cfg["mapping"]
+    n_rays = int(m["pixels"])
+    w_color, w_depth = float(m["w_color"]), float(m["w_depth"])
+    w_fs, w_center, w_tail = (
+        float(m["w_sdf_fs"]), float(m["w_sdf_center"]), float(m["w_sdf_tail"])
+    )
+    lr = m["lr"]
+    learnable_beta = bool(cfg["rendering"].get("learnable_beta", True))
+
+    label_tree = {
+        "map": MapState(
+            sdf_atlas="planes",
+            color_atlas="c_planes",
+            decoder={
+                "sdf": [["decoders", "decoders"], ["decoders", "decoders"]],
+                "rgb": [["decoders", "decoders"], ["decoders", "decoders"]],
+                "sdf_out": ["decoders", "decoders"],
+                "rgb_out": ["decoders", "decoders"],
+                "beta": "decoders" if learnable_beta else "frozen",
+            },
+        ),
+        "poses": "poses",
+    }
+    optimizer = optax.multi_transform(
+        {
+            "decoders": optax.adam(float(lr["decoders_lr"]) * lr_factor),
+            "planes": optax.adam(float(lr["planes_lr"]) * lr_factor),
+            "c_planes": optax.adam(float(lr["c_planes_lr"]) * lr_factor),
+            "poses": optax.adam(float(m["joint_opt_cam_lr"])),
+            "frozen": optax.set_to_zero(),
+        },
+        label_tree,
+    )
+
+    bound = scene.bound_array
+    HW = cam.H * cam.W
+
+    def loss_fn(params, pose_mask, slot_kf, n_slots, kf_colors, kf_depths, key):
+        ms: MapState = params["map"]
+        poses = params["poses"]
+        # Freeze masked poses: identical values, zero gradient.
+        poses = jnp.where(
+            pose_mask[:, None] > 0, poses, jax.lax.stop_gradient(poses)
+        )
+        c2ws = cam_pose_to_matrix(poses)  # (W, 4, 4)
+
+        k_px, k_render = jax.random.split(key)
+        slot_of_ray = jnp.arange(n_rays) % n_slots
+        kf_of_ray = slot_kf[slot_of_ray]
+
+        ki, kj = jax.random.split(k_px)
+        i = jax.random.randint(ki, (n_rays,), 0, cam.W).astype(jnp.float32)
+        j = jax.random.randint(kj, (n_rays,), 0, cam.H).astype(jnp.float32)
+        if ray_sharding is not None:
+            # Data-parallel scale-out: the ray batch is sharded over the
+            # device mesh; the map/pose gradients stay replicated, so XLA
+            # inserts the psum over ICI automatically in the backward pass
+            # (replaces the reference's single-GPU-only design, SURVEY §5.8).
+            i = jax.lax.with_sharding_constraint(i, ray_sharding)
+            j = jax.lax.with_sharding_constraint(j, ray_sharding)
+            slot_of_ray = jax.lax.with_sharding_constraint(
+                slot_of_ray, ray_sharding)
+            kf_of_ray = jax.lax.with_sharding_constraint(
+                kf_of_ray, ray_sharding)
+        flat = kf_of_ray * HW + j.astype(jnp.int32) * cam.W + i.astype(jnp.int32)
+        px_depth = kf_depths.reshape(-1)[flat]
+        px_color = kf_colors.reshape(-1, 3)[flat].astype(jnp.float32)
+
+        c2w_of_ray = c2ws[slot_of_ray]
+        rays_o, rays_d = rays_from_uv(
+            i, j, c2w_of_ray, cam.fx, cam.fy, cam.cx, cam.cy
+        )
+
+        t_exit = ray_aabb_exit_t(
+            jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d), bound
+        )
+        inside = t_exit >= px_depth  # depth-0 rays pass (reference Mapper.py:328)
+
+        depth, color, sdf, z_vals = render_rays(
+            k_render, ms, scene, rays_o, rays_d, px_depth, importance=True
+        )
+        dmask = inside & (px_depth > 0)
+
+        loss = sdf_losses(
+            sdf, z_vals, px_depth, dmask, scene.truncation, w_fs, w_center, w_tail
+        )
+        loss = loss + w_color * color_loss(px_color, color, inside)
+        loss = loss + w_depth * depth_loss(px_depth, depth, dmask)
+        return loss
+
+    def map_step(
+        ms: MapState,
+        poses: jnp.ndarray,
+        pose_mask: jnp.ndarray,
+        slot_kf: jnp.ndarray,
+        n_slots: jnp.ndarray,
+        kf_colors: jnp.ndarray,
+        kf_depths: jnp.ndarray,
+        key: jax.Array,
+    ):
+        params0 = {"map": ms, "poses": poses}
+        opt0 = optimizer.init(params0)
+
+        def step(carry, it):
+            params, opt_state = carry
+            k = jax.random.fold_in(key, it)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, pose_mask, slot_kf, n_slots, kf_colors, kf_depths, k
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, _), losses = jax.lax.scan(
+            step, (params0, opt0), jnp.arange(iters)
+        )
+        return params["map"], params["poses"], losses
+
+    return jax.jit(map_step, donate_argnums=(0,))

@@ -1,0 +1,270 @@
+"""SLAM orchestration: the tracking/mapping interleave on one host.
+
+The reference runs tracker and mapper as two OS processes sharing GPU
+memory, synchronized by busy-wait polling so that, per every_frame-sized
+group, the mapper maps frame k before the tracker advances past k+1
+(reference src/ESLAM.py:246-260, src/Tracker.py:264-267,
+src/Mapper.py:387-397).  The effective serialized order is:
+
+    map(0) | track(1..E) map(E) | track(E+1..2E) map(2E) | ... map(last)
+
+This scheduler executes exactly that order in one thread: every step is a
+single jitted device program, the map snapshot the tracker consumes is
+always the newest (the reference tolerates a stale one), and all shared
+state lives in explicit pytrees/host arrays instead of shared memory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myslam_tpu.core.quaternion import cam_pose_to_matrix, matrix_to_cam_pose
+from myslam_tpu.engine.camera import Camera
+from myslam_tpu.engine.keyframes import (
+    KeyframeStore,
+    make_overlap_scorer,
+    select_window,
+)
+from myslam_tpu.engine.mapper import make_mapper
+from myslam_tpu.engine.tracker import constant_speed_init, make_tracker
+from myslam_tpu.models.decoders import init_decoder_params
+from myslam_tpu.models.planes import make_layout, init_map_state
+from myslam_tpu.render.renderer import SceneGeometry
+from myslam_tpu.utils.datasets import Prefetcher, get_dataset
+
+
+def compute_bound(cfg: dict) -> np.ndarray:
+    """Scene bound with upper edge rounded up to bound_dividable.
+
+    Reference src/ESLAM.py:159-172.
+    """
+    scale = cfg.get("scale", 1)
+    bound = np.array(cfg["mapping"]["bound"], dtype=np.float64) * scale
+    div = cfg["planes_res"]["bound_dividable"]
+    bound[:, 1] = (
+        ((bound[:, 1] - bound[:, 0]) / div).astype(int) + 1
+    ) * div + bound[:, 0]
+    return bound.astype(np.float32)
+
+
+class SLAMSystem:
+    """Owns scene state and drives the tracking/mapping loop."""
+
+    def __init__(self, cfg: dict, input_folder: str | None = None,
+                 output: str | None = None, seed: int = 0):
+        self.cfg = cfg
+        self.output = output or cfg["data"]["output"]
+        os.makedirs(self.output, exist_ok=True)
+        os.makedirs(os.path.join(self.output, "ckpts"), exist_ok=True)
+        os.makedirs(os.path.join(self.output, "mesh"), exist_ok=True)
+
+        self.verbose = cfg.get("verbose", False)
+        self.cam = Camera.from_cfg(cfg)
+        self.bound = compute_bound(cfg)
+        self.truncation = cfg["model"]["truncation"]
+
+        c_dim = cfg["model"]["c_dim"]
+        pres, cres = cfg["planes_res"], cfg["c_planes_res"]
+        self.sdf_layout = make_layout(
+            self.bound, [pres["coarse"], pres["fine"]], c_dim)
+        self.color_layout = make_layout(
+            self.bound, [cres["coarse"], cres["fine"]], c_dim)
+        r = cfg["rendering"]
+        self.scene = SceneGeometry(
+            sdf_layout=self.sdf_layout,
+            color_layout=self.color_layout,
+            bound=tuple(map(tuple, self.bound.tolist())),
+            truncation=float(self.truncation),
+            n_stratified=int(r["n_stratified"]),
+            n_importance=int(r["n_importance"]),
+            perturb=bool(r["perturb"]),
+        )
+
+        self.key = jax.random.PRNGKey(seed)
+        self.rng = np.random.default_rng(seed)
+        kd, km = jax.random.split(self.key)
+        decoder = init_decoder_params(
+            kd, c_dim=c_dim, beta_init=10.0,
+        )
+        self.map_state = init_map_state(
+            km, self.sdf_layout, self.color_layout, decoder)
+
+        self.dataset = get_dataset(cfg, input_folder)
+        self.n_img = len(self.dataset)
+
+        m = cfg["mapping"]
+        self.every_frame = int(m["every_frame"])
+        self.keyframe_every = int(m["keyframe_every"])
+        self.window_size = int(m["mapping_window_size"])
+        self.joint_opt_enabled = bool(m["joint_opt"])
+        self.keyframe_selection_method = m.get(
+            "keyframe_selection_method", "overlap")
+        self.gt_camera = bool(cfg["tracking"].get("gt_camera", False))
+        self.const_speed = bool(
+            cfg["tracking"].get("const_speed_assumption", True))
+
+        mapped = sorted(set(
+            list(range(0, self.n_img, self.every_frame)) + [self.n_img - 1]))
+        n_keyframes = sum(1 for i in mapped if i % self.keyframe_every == 0)
+        self.store = KeyframeStore(n_keyframes + 2, self.cam)
+        self.scratch_slot = self.store.capacity - 1
+        self.w_max = self.window_size + 2  # selected + last two + current
+
+        self.tracker = make_tracker(cfg, self.scene, self.cam)
+        self.map_first = make_mapper(
+            cfg, self.scene, self.cam,
+            iters=int(m["iters_first"]), lr_factor=float(m["lr_first_factor"]))
+        self.map_normal = make_mapper(
+            cfg, self.scene, self.cam,
+            iters=int(m["iters"]), lr_factor=float(m["lr_factor"]))
+        self.scorer = make_overlap_scorer(self.cam)
+
+        self.estimates = np.zeros((self.n_img, 4, 4), np.float32)
+        self.gt_poses = np.zeros((self.n_img, 4, 4), np.float32)
+        self.frame_times: list[float] = []
+        self.metrics_path = os.path.join(self.output, "metrics.jsonl")
+        self._metrics_f = open(self.metrics_path, "a")
+
+        # Optional hooks (wired by run.py / tools): called as f(self, idx)
+        self.on_map_done = None
+
+    # -- internals ---------------------------------------------------------
+
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _log_metrics(self, record: dict) -> None:
+        self._metrics_f.write(json.dumps(record) + "\n")
+        self._metrics_f.flush()
+
+    def _map_frame(self, idx: int, color_dev, depth_dev, gt_c2w: np.ndarray,
+                   first: bool) -> dict:
+        """Run one mapping/BA step on frame idx (current est pose in
+        self.estimates[idx])."""
+        t0 = time.time()
+        cur_c2w = jnp.asarray(self.estimates[idx])
+
+        # Stage current frame imagery into the scratch slot (in place).
+        self.store.write_imagery(self.scratch_slot, color_dev, depth_dev)
+
+        kf_slots = select_window(
+            self.rng, self.scorer, self.store, cur_c2w, depth_dev,
+            self.window_size, self._next_key(),
+            method=self.keyframe_selection_method,
+        )
+        slots = kf_slots + [self.scratch_slot]
+        n_slots = len(slots)
+        joint_opt = self.joint_opt_enabled and (self.store.count > 4)
+
+        window_c2ws = [np.asarray(self.store.est_c2w[s]) for s in kf_slots]
+        window_c2ws.append(self.estimates[idx])
+        poses7 = np.asarray(matrix_to_cam_pose(jnp.asarray(
+            np.stack(window_c2ws, axis=0))))
+
+        poses_pad = np.zeros((self.w_max, 7), np.float32)
+        poses_pad[:, 0] = 1.0  # identity quaternions in padding
+        poses_pad[:n_slots] = poses7
+        slot_kf = np.zeros((self.w_max,), np.int32)
+        slot_kf[:n_slots] = slots
+        pose_mask = np.zeros((self.w_max,), np.float32)
+        if joint_opt and n_slots > 1:
+            pose_mask[1:n_slots] = 1.0  # oldest window frame stays frozen
+
+        mapper = self.map_first if first else self.map_normal
+        self.map_state, poses_out, losses = mapper(
+            self.map_state,
+            jnp.asarray(poses_pad),
+            jnp.asarray(pose_mask),
+            jnp.asarray(slot_kf),
+            jnp.int32(n_slots),
+            self.store.colors,
+            self.store.depths,
+            self._next_key(),
+        )
+
+        if joint_opt and n_slots > 1:
+            opt_c2ws = cam_pose_to_matrix(poses_out[:n_slots])
+            # Keyframe entries (all but the frozen oldest) get their
+            # optimized poses; the current frame updates the trajectory.
+            if len(kf_slots) > 1:
+                self.store.set_est_poses(
+                    np.asarray(kf_slots[1:]), opt_c2ws[1:len(kf_slots)])
+            self.estimates[idx] = np.asarray(opt_c2ws[n_slots - 1])
+
+        # Keyframe admission (after optimization, reference Mapper.py:429).
+        if idx % self.keyframe_every == 0:
+            self.store.add(
+                idx, color_dev, depth_dev,
+                jnp.asarray(self.estimates[idx]), jnp.asarray(gt_c2w))
+
+        map_loss = float(losses[-1])
+        dt = time.time() - t0
+        if self.verbose:
+            print(f"Mapping frame {idx}: loss {map_loss:.5f} ({dt*1e3:.0f} ms)")
+        return {"map_loss": map_loss, "map_ms": dt * 1e3}
+
+    def _track_frame(self, idx: int, color_dev, depth_dev) -> dict:
+        t0 = time.time()
+        prev = jnp.asarray(self.estimates[idx - 1])
+        if self.const_speed and idx >= 2:
+            both = matrix_to_cam_pose(jnp.asarray(
+                np.stack([self.estimates[idx - 2],
+                          self.estimates[idx - 1]], axis=0)))
+            pose_init = constant_speed_init(both[1], both[0], True)
+        else:
+            pose_init = matrix_to_cam_pose(prev[None])[0]
+
+        best_pose, losses = self.tracker(
+            self.map_state, pose_init, color_dev, depth_dev, self._next_key())
+        c2w = cam_pose_to_matrix(best_pose[None])[0]
+        self.estimates[idx] = np.asarray(c2w)
+        dt = time.time() - t0
+        return {
+            "track_loss_first": float(losses[0]),
+            "track_loss_best": float(jnp.min(losses)),
+            "track_ms": dt * 1e3,
+        }
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self) -> None:
+        prefetch = Prefetcher(self.dataset, range(self.n_img))
+        t_start = time.time()
+        for idx, (color, depth, gt_c2w) in prefetch:
+            t_frame = time.time()
+            color_dev = jnp.asarray(color)
+            depth_dev = jnp.asarray(depth)
+            self.gt_poses[idx] = gt_c2w
+            rec = {"frame": idx}
+
+            if idx == 0 or self.gt_camera:
+                self.estimates[idx] = gt_c2w
+            else:
+                rec.update(self._track_frame(idx, color_dev, depth_dev))
+
+            if idx % self.every_frame == 0 or idx == self.n_img - 1:
+                rec.update(self._map_frame(
+                    idx, color_dev, depth_dev, gt_c2w, first=(idx == 0)))
+                if self.on_map_done is not None:
+                    self.on_map_done(self, idx)
+
+            rec["frame_ms"] = (time.time() - t_frame) * 1e3
+            self.frame_times.append(time.time() - t_frame)
+            self._log_metrics(rec)
+            if self.verbose and idx % 50 == 0:
+                print(f"Frame {idx}/{self.n_img}  "
+                      f"({idx / max(time.time() - t_start, 1e-9):.2f} fps)")
+
+        self._metrics_f.flush()
+
+    @property
+    def fps(self) -> float:
+        total = sum(self.frame_times)
+        return len(self.frame_times) / total if total > 0 else 0.0

@@ -1,0 +1,130 @@
+"""Per-frame camera tracking as one jitted device program.
+
+Re-design of the reference Tracker (src/Tracker.py:150-314): instead of a
+Python loop issuing 8 separate fused-kernel launches + optimizer steps,
+the whole per-frame optimization is a single ``lax.scan`` inside one jit —
+sample pixels, render, masked losses, Adam on the 7-dof (quat, trans)
+pose — with the best-of-iters candidate selection done in-carry.
+
+Reference semantics kept:
+  * fresh Adam state per frame, betas (0.5, 0.999), separate lr for R/T
+    (src/Tracker.py:291-296);
+  * per-iteration loss evaluated at the pre-update pose; the pose with
+    the lowest such loss wins (src/Tracker.py:298-309);
+  * ray filtering (bound exit >= gt depth, depth > 0) and the
+    10x-median depth-error outlier rejection become masks
+    (src/Tracker.py:175-195);
+  * fresh random pixels every iteration.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from myslam_tpu.core.geometry import ray_aabb_exit_t, rays_from_uv
+from myslam_tpu.core.losses import (
+    color_loss,
+    depth_loss,
+    masked_median,
+    sdf_losses,
+)
+from myslam_tpu.core.quaternion import cam_pose_to_matrix
+from myslam_tpu.core.sampling import gather_pixels, sample_pixels
+from myslam_tpu.engine.camera import Camera
+from myslam_tpu.models.planes import MapState
+from myslam_tpu.render.renderer import SceneGeometry, render_rays
+
+
+def constant_speed_init(
+    prev: jnp.ndarray, prev_prev: jnp.ndarray, use_const_speed
+) -> jnp.ndarray:
+    """Initial pose guess: linear extrapolation in (quat, trans) space.
+
+    prev, prev_prev: (7,) cam poses.  Reference src/Tracker.py:282-289.
+    """
+    extrapolated = 2.0 * prev - prev_prev
+    return jnp.where(use_const_speed, extrapolated, prev)
+
+
+def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera):
+    """Build the jitted per-frame tracking function.
+
+    Returns track(ms, pose_init7, gt_color, gt_depth, key)
+      -> (best_pose7, losses (iters,)).
+    """
+    t = cfg["tracking"]
+    n_px = int(t["pixels"])
+    iters = int(t["iters"])
+    ie_h, ie_w = int(t["ignore_edge_H"]), int(t["ignore_edge_W"])
+    w_color, w_depth = float(t["w_color"]), float(t["w_depth"])
+    w_fs, w_center, w_tail = (
+        float(t["w_sdf_fs"]), float(t["w_sdf_center"]), float(t["w_sdf_tail"])
+    )
+    lr_T, lr_R = float(t["lr_T"]), float(t["lr_R"])
+
+    optimizer = optax.multi_transform(
+        {
+            "R": optax.adam(lr_R, b1=0.5, b2=0.999),
+            "T": optax.adam(lr_T, b1=0.5, b2=0.999),
+        },
+        {"R": "R", "T": "T"},
+    )
+
+    bound = scene.bound_array
+
+    def loss_fn(params, ms: MapState, gt_color, gt_depth, key):
+        pose = jnp.concatenate([params["R"], params["T"]])
+        c2w = cam_pose_to_matrix(pose[None])[0]
+        k_px, k_render = jax.random.split(key)
+        i, j = sample_pixels(k_px, n_px, ie_h, cam.H - ie_h, ie_w, cam.W - ie_w)
+        px_depth = gather_pixels(gt_depth, i, j)
+        px_color = gather_pixels(gt_color, i, j).astype(jnp.float32)
+        rays_o, rays_d = rays_from_uv(i, j, c2w, cam.fx, cam.fy, cam.cx, cam.cy)
+
+        t_exit = ray_aabb_exit_t(
+            jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d), bound
+        )
+        inside = (t_exit >= px_depth) & (px_depth > 0)
+
+        depth, color, sdf, z_vals = render_rays(
+            k_render, ms, scene, rays_o, rays_d, px_depth, importance=False
+        )
+
+        err = jnp.abs(px_depth - jax.lax.stop_gradient(depth))
+        med = masked_median(err, inside)
+        dmask = inside & (err < 10.0 * med)
+
+        loss = sdf_losses(
+            sdf, z_vals, px_depth, dmask, scene.truncation, w_fs, w_center, w_tail
+        )
+        loss = loss + w_color * color_loss(px_color, color, dmask)
+        loss = loss + w_depth * depth_loss(px_depth, depth, dmask)
+        return loss
+
+    def track(ms: MapState, pose_init: jnp.ndarray, gt_color, gt_depth, key):
+        params0 = {"R": pose_init[:4], "T": pose_init[4:]}
+        opt0 = optimizer.init(params0)
+
+        def step(carry, it):
+            params, opt_state, best_loss, best_pose = carry
+            k = jax.random.fold_in(key, it)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, ms, gt_color, gt_depth, k
+            )
+            pose = jnp.concatenate([params["R"], params["T"]])
+            better = loss < best_loss
+            best_pose = jnp.where(better, pose, best_pose)
+            best_loss = jnp.minimum(loss, best_loss)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, best_loss, best_pose), loss
+
+        carry0 = (params0, opt0, jnp.inf, pose_init)
+        (_, _, _, best_pose), losses = jax.lax.scan(
+            step, carry0, jnp.arange(iters)
+        )
+        return best_pose, losses
+
+    return jax.jit(track)

@@ -19,6 +19,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 # Orientation axis pairs: (u-axis, v-axis) of each plane; u indexes the
@@ -53,7 +54,7 @@ def make_layout(bound, resolutions, c_dim: int) -> PlaneLayout:
     Grid sizing matches the reference (truncating int division of the
     axis length, axes x/z swapped: src/ESLAM.py:198-203).
     """
-    bound = jnp.asarray(bound)
+    bound = np.asarray(bound)
     xyz_len = (bound[:, 1] - bound[:, 0]).tolist()
     shapes, offsets = [], []
     off = 0

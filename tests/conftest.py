@@ -1,11 +1,14 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes a backend.
+A site .pth pre-imports jaxlib at interpreter startup, so jax's config
+snapshots JAX_PLATFORMS (=axon, the TPU tunnel) from the shell before any
+test code runs; mutating os.environ is too late.  jax.config.update works
+any time before backend init.  XLA_FLAGS is read at backend creation, so
+the env route still works for the device count.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # the shell may pin JAX_PLATFORMS=axon
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +17,5 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
