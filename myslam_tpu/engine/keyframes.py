@@ -44,6 +44,9 @@ class KeyframeStore:
         self.cam = cam
         self.count = 0
         self.frame_ids: list[int] = []
+        # Host-side record of whether each slot's depth map has holes —
+        # lets the mapper statically skip the depth-less sampling branch.
+        self.has_depthless: list[bool] = [False] * capacity
         self.colors = jnp.zeros((capacity, cam.H, cam.W, 3), color_dtype)
         self.depths = jnp.zeros((capacity, cam.H, cam.W), jnp.float32)
         self.est_c2w = jnp.tile(jnp.eye(4), (capacity, 1, 1))
@@ -54,10 +57,12 @@ class KeyframeStore:
         self.colors = _write_slot_donated(self.colors, slot, color)
         self.depths = _write_slot_donated(self.depths, slot, depth)
 
-    def add(self, frame_id: int, color, depth, est_c2w, gt_c2w) -> int:
+    def add(self, frame_id: int, color, depth, est_c2w, gt_c2w,
+            has_depthless: bool = True) -> int:
         if self.count >= self.capacity:
             raise RuntimeError("keyframe store full")
         pos = self.count
+        self.has_depthless[pos] = bool(has_depthless)
         self.write_imagery(pos, color, depth)
         self.est_c2w = _write_slot(self.est_c2w, pos, est_c2w)
         self.gt_c2w = _write_slot(self.gt_c2w, pos, gt_c2w)

@@ -40,6 +40,7 @@ def make_mapper(
     iters: int,
     lr_factor: float,
     ray_sharding=None,
+    importance: bool = True,
 ):
     """Build a jitted mapping step for a fixed iteration count / lr factor.
 
@@ -129,8 +130,12 @@ def make_mapper(
         )
         inside = t_exit >= px_depth  # depth-0 rays pass (reference Mapper.py:328)
 
+        # ``importance`` is statically off when the caller knows every pixel
+        # in the window has valid depth (then the reference's depth-less
+        # sampling branch is provably dead and its coarse pass is skipped).
         depth, color, sdf, z_vals = render_rays(
-            k_render, ms, scene, rays_o, rays_d, px_depth, importance=True
+            k_render, ms, scene, rays_o, rays_d, px_depth,
+            importance=importance
         )
         dmask = inside & (px_depth > 0)
 

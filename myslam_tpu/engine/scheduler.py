@@ -117,12 +117,18 @@ class SLAMSystem:
         self.w_max = self.window_size + 2  # selected + last two + current
 
         self.tracker = make_tracker(cfg, self.scene, self.cam)
-        self.map_first = make_mapper(
-            cfg, self.scene, self.cam,
-            iters=int(m["iters_first"]), lr_factor=float(m["lr_first_factor"]))
-        self.map_normal = make_mapper(
-            cfg, self.scene, self.cam,
-            iters=int(m["iters"]), lr_factor=float(m["lr_factor"]))
+        # Mapper variants: (first-frame?, importance-branch?).  The
+        # importance-free variants are used whenever no frame in the BA
+        # window has depth holes (jit compiles each lazily on first use).
+        self._mappers = {}
+        for first in (False, True):
+            for imp in (False, True):
+                self._mappers[(first, imp)] = make_mapper(
+                    cfg, self.scene, self.cam,
+                    iters=int(m["iters_first"] if first else m["iters"]),
+                    lr_factor=float(
+                        m["lr_first_factor"] if first else m["lr_factor"]),
+                    importance=imp)
         self.scorer = make_overlap_scorer(self.cam)
 
         self.estimates = np.zeros((self.n_img, 4, 4), np.float32)
@@ -145,7 +151,7 @@ class SLAMSystem:
         self._metrics_f.flush()
 
     def _map_frame(self, idx: int, color_dev, depth_dev, gt_c2w: np.ndarray,
-                   first: bool) -> dict:
+                   first: bool, cur_has_depthless: bool) -> dict:
         """Run one mapping/BA step on frame idx (current est pose in
         self.estimates[idx])."""
         t0 = time.time()
@@ -177,7 +183,9 @@ class SLAMSystem:
         if joint_opt and n_slots > 1:
             pose_mask[1:n_slots] = 1.0  # oldest window frame stays frozen
 
-        mapper = self.map_first if first else self.map_normal
+        needs_importance = cur_has_depthless or any(
+            self.store.has_depthless[s] for s in kf_slots)
+        mapper = self._mappers[(first, needs_importance)]
         self.map_state, poses_out, losses = mapper(
             self.map_state,
             jnp.asarray(poses_pad),
@@ -202,7 +210,8 @@ class SLAMSystem:
         if idx % self.keyframe_every == 0:
             self.store.add(
                 idx, color_dev, depth_dev,
-                jnp.asarray(self.estimates[idx]), jnp.asarray(gt_c2w))
+                jnp.asarray(self.estimates[idx]), jnp.asarray(gt_c2w),
+                has_depthless=cur_has_depthless)
 
         map_loss = float(losses[-1])
         dt = time.time() - t0
@@ -251,7 +260,8 @@ class SLAMSystem:
 
             if idx % self.every_frame == 0 or idx == self.n_img - 1:
                 rec.update(self._map_frame(
-                    idx, color_dev, depth_dev, gt_c2w, first=(idx == 0)))
+                    idx, color_dev, depth_dev, gt_c2w, first=(idx == 0),
+                    cur_has_depthless=bool((depth <= 0).any())))
                 if self.on_map_done is not None:
                     self.on_map_done(self, idx)
 

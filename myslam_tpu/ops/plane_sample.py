@@ -10,29 +10,63 @@ orientations and concatenation across levels
   * border padding: coords clamped to [0, size-1] — which also zeroes the
     coordinate gradient outside the border, like the CUDA kernel.
 
-TPU-native: the 4 corners x 3 orientations x L levels lookups for each
-point are computed as a SINGLE row-gather from the fused atlas, followed
-by one weighted segment reduction.  Both the atlas gradient (scatter-add)
-and the coordinate gradient (for pose optimization) fall out of XLA
-autodiff of this formulation.
+TPU-native, two-stage design driven by the hardware's gather cost model
+(measured: gather/scatter throughput on v5e is bound by ROW COUNT, and
+rows narrower than the 128-lane vector width waste most of each access):
+
+  1. ``pack_quad`` densely rewrites the (S, 32) atlas into a (S, 128)
+     "quad atlas" whose row r holds the 2x2 bilinear corner neighborhood
+     [A[y,x] | A[y,x+1] | A[y+1,x] | A[y+1,x+1]] (edges clamped, which
+     reproduces grid_sample border padding for free).  This is a cheap
+     dense shuffle (slice+concat) executed once per program.
+  2. ``sample_quad`` then needs ONE perfectly lane-aligned 128-wide row
+     gather per (point, level, orientation) — 6 rows/point instead of 24.
+
+Under autodiff the atlas gradient becomes a scatter-add of 4x fewer,
+4x wider rows into the quad layout followed by a dense shifted-slice
+reduction back to the true atlas — measured ~4x faster than the naive
+layout's backward.  The coordinate gradient (pose optimization) falls out
+of the same formulation.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from myslam_tpu.models.planes import ORIENTATIONS, PlaneLayout
 
 
-def _corner_indices_weights(p_nor: jnp.ndarray, layout: PlaneLayout):
-    """Row indices into the atlas and bilinear weights for each point.
+def pack_quad(atlas: jnp.ndarray, layout: PlaneLayout) -> jnp.ndarray:
+    """(S, C) atlas -> (S, 4C) quad atlas of 2x2 corner neighborhoods."""
+    parts = []
+    C = atlas.shape[-1]
+    for lvl in range(layout.n_levels):
+        for ori in range(3):
+            H, W = layout.shapes[lvl][ori]
+            off = layout.offsets[lvl][ori]
+            a = atlas[off:off + H * W].reshape(H, W, C)
+            right = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            down = jnp.concatenate([a[1:], a[-1:]], axis=0)
+            down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+            q = jnp.concatenate([a, right, down, down_right], axis=-1)
+            parts.append(q.reshape(H * W, 4 * C))
+    return jnp.concatenate(parts, axis=0)
 
-    p_nor: (N, 3) coords in [-1, 1].
-    Returns idx (N, L*12) int32, w (N, L*12) float32, ordered
-    [level][orientation][corner].
+
+def _cell_index_and_lane_weights(p_nor: jnp.ndarray, layout: PlaneLayout):
+    """Quad-atlas row indices plus bilinear weights already broadcast into
+    the 128-lane corner layout.
+
+    Building (N, P, 4C) weights directly from lane-index masks keeps every
+    array 4C(=128)-lane wide; a (..., 4, C) reshape would force a padded
+    C-lane relayout that costs more than the gather itself (measured).
+
+    Returns idx (N, P) int32 and w (N, P, 4C) with
+    w[..., c] = wy_factor(c) * wx_factor(c) for corner c // C in
+    [tl, tr, bl, br] order (matching pack_quad).
     """
-    idx_parts = []
-    w_parts = []
+    idx_parts, wx_parts, wy_parts = [], [], []
     for lvl in range(layout.n_levels):
         for ori, (au, av) in enumerate(ORIENTATIONS):
             H, W = layout.shapes[lvl][ori]
@@ -43,39 +77,68 @@ def _corner_indices_weights(p_nor: jnp.ndarray, layout: PlaneLayout):
             y = jnp.clip((v + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
             x0f = jnp.floor(x)
             y0f = jnp.floor(y)
-            wx = x - x0f
-            wy = y - y0f
-            x0 = x0f.astype(jnp.int32)
-            y0 = y0f.astype(jnp.int32)
-            x1 = jnp.minimum(x0 + 1, W - 1)
-            y1 = jnp.minimum(y0 + 1, H - 1)
-            base = off + y0 * W
-            base1 = off + y1 * W
-            idx_parts.append(jnp.stack(
-                [base + x0, base + x1, base1 + x0, base1 + x1], axis=-1))
-            w_parts.append(jnp.stack(
-                [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx],
-                axis=-1))
-    idx = jnp.concatenate(idx_parts, axis=-1)
-    w = jnp.concatenate(w_parts, axis=-1)
+            idx_parts.append(
+                off + y0f.astype(jnp.int32) * W + x0f.astype(jnp.int32))
+            wx_parts.append(x - x0f)
+            wy_parts.append(y - y0f)
+    idx = jnp.stack(idx_parts, axis=-1)  # (N, P)
+    wx = jnp.stack(wx_parts, axis=-1)[..., None]  # (N, P, 1)
+    wy = jnp.stack(wy_parts, axis=-1)[..., None]
+    C4 = 4 * layout.c_dim
+    lane = jnp.arange(C4)
+    right = (lane // layout.c_dim) % 2 == 1  # corners tr, br
+    bottom = lane >= C4 // 2  # corners bl, br
+    w = jnp.where(right, wx, 1.0 - wx) * jnp.where(bottom, wy, 1.0 - wy)
     return idx, w
+
+
+def _reduce_matrix(layout: PlaneLayout, dtype) -> jnp.ndarray:
+    """Constant (P*4C, L*C) block matrix summing corners + orientations and
+    concatenating levels — the whole feature reduction as ONE MXU matmul."""
+    C = layout.c_dim
+    L = layout.n_levels
+    P = L * 3
+    m = np.zeros((P * 4 * C, L * C), np.float32)
+    eye = np.eye(C, dtype=np.float32)
+    for lvl in range(L):
+        for ori in range(3):
+            p = lvl * 3 + ori
+            for corner in range(4):
+                r = p * 4 * C + corner * C
+                m[r:r + C, lvl * C:(lvl + 1) * C] = eye
+    return jnp.asarray(m, dtype)
+
+
+def sample_quad(
+    quad: jnp.ndarray, layout: PlaneLayout, p_nor: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample a pre-packed quad atlas at normalized points.
+
+    quad: (S, 4C); p_nor: (N, 3) in [-1, 1].
+    Returns (N, L*C): per-level orientation-summed features, concatenated
+    coarse-to-fine (reference src/networks/decoders.py:77-83).
+
+    Pipeline: one lane-aligned row gather, lane-space bilinear weighting,
+    and a single matmul against a constant block-identity matrix for the
+    corner/orientation/level reduction (keeps everything 128-lane wide;
+    the MXU does the reduction essentially for free).
+    """
+    n = p_nor.shape[0]
+    P = layout.n_levels * 3
+    C4 = quad.shape[-1]
+    idx, w = _cell_index_and_lane_weights(p_nor, layout)  # (N,P), (N,P,4C)
+    g = jnp.take(quad, idx.reshape(-1), axis=0).reshape(n, P, C4)
+    weighted = (g * w.astype(quad.dtype)).reshape(n, P * C4)
+    reduce_m = _reduce_matrix(layout, quad.dtype)
+    return jnp.dot(weighted, reduce_m, preferred_element_type=jnp.float32)
 
 
 def sample_atlas(
     atlas: jnp.ndarray, layout: PlaneLayout, p_nor: jnp.ndarray
 ) -> jnp.ndarray:
-    """Sample the fused plane atlas at normalized points.
+    """Sample the (unpacked) plane atlas: pack_quad + sample_quad.
 
-    atlas: (S, C); p_nor: (N, 3) in [-1, 1].
-    Returns (N, L*C): per-level orientation-summed features, concatenated
-    coarse-to-fine (reference src/networks/decoders.py:77-83).
+    Callers issuing several sample calls against the same atlas in one
+    program (renderer, mesher) should pack once and call sample_quad.
     """
-    n = p_nor.shape[0]
-    L = layout.n_levels
-    idx, w = _corner_indices_weights(p_nor, layout)  # (N, L*12)
-    gathered = jnp.take(atlas, idx.reshape(-1), axis=0)  # (N*L*12, C)
-    gathered = gathered.reshape(n, L * 12, -1)
-    weighted = gathered * w[..., None].astype(atlas.dtype)
-    # Sum the 12 rows (4 corners x 3 orientations) of each level.
-    feat = weighted.reshape(n, L, 12, -1).sum(axis=2)
-    return feat.reshape(n, -1)
+    return sample_quad(pack_quad(atlas, layout), layout, p_nor)

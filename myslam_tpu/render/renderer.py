@@ -28,7 +28,7 @@ from myslam_tpu.core.sampling import (
 from myslam_tpu.models.decoders import decode_rgb, decode_sdf
 from myslam_tpu.models.planes import MapState, PlaneLayout
 from myslam_tpu.ops.composite import composite, composite_weights, sdf2alpha
-from myslam_tpu.ops.plane_sample import sample_atlas
+from myslam_tpu.ops.plane_sample import pack_quad, sample_quad
 
 
 @dataclass(frozen=True)
@@ -52,27 +52,37 @@ class SceneGeometry:
         return self.n_stratified + self.n_importance
 
 
-def query_sdf(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray):
-    """Raw SDF at normalized points (reference src/networks/decoders.py:87)."""
-    feat = sample_atlas(ms.sdf_atlas, scene.sdf_layout, p_nor)
+def query_sdf(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray,
+              sdf_quad: jnp.ndarray | None = None):
+    """Raw SDF at normalized points (reference src/networks/decoders.py:87).
+
+    ``sdf_quad``: optional pre-packed quad atlas (pack once per program).
+    """
+    if sdf_quad is None:
+        sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
+    feat = sample_quad(sdf_quad, scene.sdf_layout, p_nor)
     return decode_sdf(ms.decoder, feat)
 
 
-def query_rgb(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray):
+def query_rgb(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray,
+              color_quad: jnp.ndarray | None = None):
     """Raw RGB at normalized points (reference src/networks/decoders.py:107)."""
-    feat = sample_atlas(ms.color_atlas, scene.color_layout, p_nor)
+    if color_quad is None:
+        color_quad = pack_quad(ms.color_atlas, scene.color_layout)
+    feat = sample_quad(color_quad, scene.color_layout, p_nor)
     return decode_rgb(ms.decoder, feat)
 
 
-def query_raw(ms: MapState, scene: SceneGeometry, pts: jnp.ndarray):
+def query_raw(ms: MapState, scene: SceneGeometry, pts: jnp.ndarray,
+              sdf_quad=None, color_quad=None):
     """World points (..., 3) -> (..., 4) [rgb, sdf].
 
     Reference src/networks/decoders.py:127-146.
     """
     shape = pts.shape
     p_nor = normalize_3d_coordinate(pts.reshape(-1, 3), scene.bound_array)
-    sdf = query_sdf(ms, scene, p_nor)
-    rgb = query_rgb(ms, scene, p_nor)
+    sdf = query_sdf(ms, scene, p_nor, sdf_quad)
+    rgb = query_rgb(ms, scene, p_nor, color_quad)
     return jnp.concatenate([rgb, sdf[:, None]], axis=-1).reshape(
         shape[:-1] + (4,)
     )
@@ -86,6 +96,7 @@ def build_z_vals(
     rays_d: jnp.ndarray,
     gt_depth: jnp.ndarray,
     importance: bool,
+    sdf_quad=None,
 ) -> jnp.ndarray:
     """Per-ray sample depths, (R, n_stratified + n_importance).
 
@@ -111,7 +122,10 @@ def build_z_vals(
         pts_uni.reshape(-1, 3), scene.bound_array
     )
     ms_ng = jax.lax.stop_gradient(ms)
-    sdf_uni = query_sdf(ms_ng, scene, p_nor).reshape(z_uni.shape)
+    sdf_uni = query_sdf(
+        ms_ng, scene, p_nor, jax.lax.stop_gradient(sdf_quad)
+        if sdf_quad is not None else None
+    ).reshape(z_uni.shape)
     alpha_uni = sdf2alpha(sdf_uni, ms_ng.decoder["beta"][0])
     w_uni = composite_weights(alpha_uni)
     z_mid = 0.5 * (z_uni[..., 1:] + z_uni[..., :-1])
@@ -138,9 +152,13 @@ def render_rays(
     Returns (depth (R,), color (R, 3), sdf (R, N), z_vals (R, N)) —
     the reference's render_batch_ray contract (src/utils/Renderer.py:63-147).
     """
-    z_vals = build_z_vals(key, ms, scene, rays_o, rays_d, gt_depth, importance)
+    # Pack the quad atlases once; every query in this program reuses them.
+    sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
+    color_quad = pack_quad(ms.color_atlas, scene.color_layout)
+    z_vals = build_z_vals(key, ms, scene, rays_o, rays_d, gt_depth,
+                          importance, sdf_quad)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    raw = query_raw(ms, scene, pts)  # (R, N, 4)
+    raw = query_raw(ms, scene, pts, sdf_quad, color_quad)  # (R, N, 4)
     sdf = raw[..., -1]
     alpha = sdf2alpha(sdf, ms.decoder["beta"][0])
     depth, color, _ = composite(alpha, z_vals, raw[..., :3])
