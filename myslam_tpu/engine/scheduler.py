@@ -37,6 +37,9 @@ from myslam_tpu.models.decoders import init_decoder_params
 from myslam_tpu.models.planes import make_layout, init_map_state
 from myslam_tpu.render.renderer import SceneGeometry
 from myslam_tpu.utils.datasets import Prefetcher, get_dataset
+from myslam_tpu.utils.logger import save_checkpoint
+from myslam_tpu.utils.mesher import Mesher
+from myslam_tpu.utils.visualizer import FrameVisualizer
 
 
 def compute_bound(cfg: dict) -> np.ndarray:
@@ -137,6 +140,25 @@ class SLAMSystem:
         self.metrics_path = os.path.join(self.output, "metrics.jsonl")
         self._metrics_f = open(self.metrics_path, "a")
 
+        self.mesher = Mesher(cfg, self.scene, self.cam)
+        self.mesh_freq = int(m["mesh_freq"])
+        self.ckpt_freq = int(m["ckpt_freq"])
+        self.eval_rec = bool(cfg["meshing"].get("eval_rec", False))
+        self.no_mesh_on_first_frame = bool(m.get("no_mesh_on_first_frame", True))
+        self.no_log_on_first_frame = bool(m.get("no_log_on_first_frame", True))
+        self.no_vis_on_first_frame = bool(m.get("no_vis_on_first_frame", True))
+        t = cfg["tracking"]
+        self.track_vis = FrameVisualizer(
+            t["vis_freq"], t["vis_inside_freq"],
+            os.path.join(self.output, "tracking_vis"),
+            self.scene, self.cam, self.verbose)
+        self.map_vis = FrameVisualizer(
+            m["vis_freq"], m["vis_inside_freq"],
+            os.path.join(self.output, "mapping_vis"),
+            self.scene, self.cam, self.verbose)
+        # Depth maps kept per frame for final mesh culling (host, fp16).
+        self.cull_with_estimates = True
+
         # Optional hooks (wired by run.py / tools): called as f(self, idx)
         self.on_map_done = None
 
@@ -215,9 +237,39 @@ class SLAMSystem:
 
         map_loss = float(losses[-1])
         dt = time.time() - t0
+
+        # Post-mapping bookkeeping at the reference's frequencies
+        # (src/Mapper.py:437-457).  In-loop visualization is emitted once
+        # per mapped frame (the per-iteration hook does not exist inside a
+        # jitted scan).
+        if not (idx == 0 and self.no_vis_on_first_frame):
+            self.map_vis.save_imgs(
+                idx, 0, np.asarray(depth_dev), np.asarray(color_dev),
+                self.estimates[idx], self.map_state, self._next_key())
+        if ((not (idx == 0 and self.no_log_on_first_frame))
+                and idx % self.ckpt_freq == 0) or idx == self.n_img - 1:
+            save_checkpoint(
+                os.path.join(self.output, "ckpts", f"{idx:05d}.npz"),
+                self, idx)
+        if (idx % self.mesh_freq == 0) and not (
+                idx == 0 and self.no_mesh_on_first_frame):
+            self._extract_and_cull_mesh(
+                os.path.join(self.output, "mesh", f"{idx:05d}_mesh.ply"),
+                upto=idx + 1)
+
         if self.verbose:
             print(f"Mapping frame {idx}: loss {map_loss:.5f} ({dt*1e3:.0f} ms)")
         return {"map_loss": map_loss, "map_ms": dt * 1e3}
+
+    def _extract_and_cull_mesh(self, path: str, upto: int) -> str:
+        """Extract the current mesh and cull it with frames [0, upto)."""
+        from myslam_tpu.tools.cull_mesh import cull_mesh
+
+        self.mesher.get_mesh(path, self.map_state, self.store)
+        frames = ((self.dataset.get_frame(i)[1], self.estimates[i])
+                  for i in range(upto))
+        return cull_mesh(path, self.cfg, frames,
+                         estimate_c2w_list=self.estimates[:upto])
 
     def _track_frame(self, idx: int, color_dev, depth_dev) -> dict:
         t0 = time.time()
@@ -234,6 +286,9 @@ class SLAMSystem:
             self.map_state, pose_init, color_dev, depth_dev, self._next_key())
         c2w = cam_pose_to_matrix(best_pose[None])[0]
         self.estimates[idx] = np.asarray(c2w)
+        self.track_vis.save_imgs(
+            idx, 0, np.asarray(depth_dev), np.asarray(color_dev),
+            self.estimates[idx], self.map_state, self._next_key())
         dt = time.time() - t0
         return {
             "track_loss_first": float(losses[0]),
@@ -243,8 +298,21 @@ class SLAMSystem:
 
     # -- main loop ---------------------------------------------------------
 
-    def run(self) -> None:
-        prefetch = Prefetcher(self.dataset, range(self.n_img))
+    def resume(self, ckpt_path: str | None = None) -> int:
+        """Restore the newest (or given) checkpoint; returns start frame."""
+        from myslam_tpu.utils.logger import latest_checkpoint, load_checkpoint
+
+        path = ckpt_path or latest_checkpoint(
+            os.path.join(self.output, "ckpts"))
+        if path is None:
+            return 0
+        start = load_checkpoint(path, self)
+        if self.verbose:
+            print(f"Resumed from {path} at frame {start}")
+        return start
+
+    def run(self, start_idx: int = 0) -> None:
+        prefetch = Prefetcher(self.dataset, range(start_idx, self.n_img))
         t_start = time.time()
         for idx, (color, depth, gt_c2w) in prefetch:
             t_frame = time.time()
@@ -272,6 +340,13 @@ class SLAMSystem:
                 print(f"Frame {idx}/{self.n_img}  "
                       f"({idx / max(time.time() - t_start, 1e-9):.2f} fps)")
 
+        # Final mesh (reference Mapper.py:448-456).
+        name = "final_mesh_eval_rec.ply" if self.eval_rec else "final_mesh.ply"
+        try:
+            self._extract_and_cull_mesh(
+                os.path.join(self.output, "mesh", name), upto=self.n_img)
+        except Exception as e:  # meshing must not lose the run's trajectory
+            print(f"WARNING: final meshing failed: {e}")
         self._metrics_f.flush()
 
     @property

@@ -163,3 +163,54 @@ def render_rays(
     alpha = sdf2alpha(sdf, ms.decoder["beta"][0])
     depth, color, _ = composite(alpha, z_vals, raw[..., :3])
     return depth, color, sdf, z_vals
+
+
+def make_image_renderer(scene: SceneGeometry, cam, ray_batch_size: int = 40960):
+    """Full-image no-grad renderer (reference render_img,
+    src/utils/Renderer.py:155-203): rays rendered in fixed-size chunks.
+
+    Returns render_img(ms, c2w, gt_depth, key) -> (depth (H,W), color
+    (H,W,3)).
+    """
+    from myslam_tpu.core.geometry import rays_full_image
+
+    n_px = cam.H * cam.W
+    n_chunks = -(-n_px // ray_batch_size)
+    pad = n_chunks * ray_batch_size - n_px
+
+    @jax.jit
+    def render_img(ms, c2w, gt_depth, key):
+        rays_o, rays_d = rays_full_image(
+            cam.H, cam.W, cam.fx, cam.fy, cam.cx, cam.cy, c2w)
+        rays_o = jnp.concatenate(
+            [rays_o.reshape(-1, 3), jnp.zeros((pad, 3))], axis=0)
+        rays_d = jnp.concatenate(
+            [rays_d.reshape(-1, 3), jnp.ones((pad, 3))], axis=0)
+        depth_flat = jnp.concatenate(
+            [gt_depth.reshape(-1), jnp.zeros((pad,))], axis=0)
+
+        sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
+        color_quad = pack_quad(ms.color_atlas, scene.color_layout)
+
+        def chunk(carry, ins):
+            ro, rd, d, k = ins
+            z = build_z_vals(k, ms, scene, ro, rd, d, importance=True,
+                             sdf_quad=sdf_quad)
+            pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+            raw = query_raw(ms, scene, pts, sdf_quad, color_quad)
+            alpha = sdf2alpha(raw[..., -1], ms.decoder["beta"][0])
+            dep, col, _ = composite(alpha, z, raw[..., :3])
+            return carry, (dep, col)
+
+        keys = jax.random.split(key, n_chunks)
+        _, (dep, col) = jax.lax.scan(
+            chunk, 0,
+            (rays_o.reshape(n_chunks, ray_batch_size, 3),
+             rays_d.reshape(n_chunks, ray_batch_size, 3),
+             depth_flat.reshape(n_chunks, ray_batch_size),
+             keys))
+        depth_img = dep.reshape(-1)[:n_px].reshape(cam.H, cam.W)
+        color_img = col.reshape(-1, 3)[:n_px].reshape(cam.H, cam.W, 3)
+        return depth_img, color_img
+
+    return render_img

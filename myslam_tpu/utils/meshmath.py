@@ -1,0 +1,151 @@
+"""Mesh geometry utilities: surface sampling, subdivision, depth raster.
+
+Host/device helpers backing the reconstruction eval tools, replacing the
+reference's trimesh.sample / Open3D offscreen renderer dependencies.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
+                   rng: np.random.Generator) -> np.ndarray:
+    """Area-weighted uniform point sampling on a triangle mesh (n, 3)."""
+    tri = verts[faces]
+    cross = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = 0.5 * np.linalg.norm(cross, axis=-1)
+    total = area.sum()
+    if total <= 0:
+        raise ValueError("degenerate mesh")
+    probs = area / total
+    choice = rng.choice(len(faces), size=n, p=probs)
+    r1 = np.sqrt(rng.uniform(size=(n, 1)))
+    r2 = rng.uniform(size=(n, 1))
+    t = tri[choice]
+    return ((1 - r1) * t[:, 0] + r1 * (1 - r2) * t[:, 1]
+            + r1 * r2 * t[:, 2]).astype(np.float32)
+
+
+def subdivide_to_edge(verts: np.ndarray, faces: np.ndarray,
+                      max_edge: float, max_rounds: int = 6):
+    """4-split triangles until all edges are shorter than max_edge."""
+    verts = verts.astype(np.float64)
+    for _ in range(max_rounds):
+        tri = verts[faces]
+        e = np.stack([
+            np.linalg.norm(tri[:, 1] - tri[:, 0], axis=-1),
+            np.linalg.norm(tri[:, 2] - tri[:, 1], axis=-1),
+            np.linalg.norm(tri[:, 0] - tri[:, 2], axis=-1)], -1)
+        big = e.max(-1) > max_edge
+        if not big.any():
+            break
+        keep = faces[~big]
+        split = faces[big]
+        t = verts[split]
+        m01 = 0.5 * (t[:, 0] + t[:, 1])
+        m12 = 0.5 * (t[:, 1] + t[:, 2])
+        m20 = 0.5 * (t[:, 2] + t[:, 0])
+        base = len(verts)
+        k = len(split)
+        verts = np.concatenate([verts, m01, m12, m20], axis=0)
+        i01 = base + np.arange(k)
+        i12 = base + k + np.arange(k)
+        i20 = base + 2 * k + np.arange(k)
+        new = np.stack([
+            np.stack([split[:, 0], i01, i20], -1),
+            np.stack([i01, split[:, 1], i12], -1),
+            np.stack([i20, i12, split[:, 2]], -1),
+            np.stack([i01, i12, i20], -1)], 0).reshape(-1, 3)
+        faces = np.concatenate([keep, new], axis=0)
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def make_depth_rasterizer(H: int, W: int, fx, fy, cx, cy,
+                          patch: int = 8, chunk: int = 1 << 16):
+    """Perspective-correct triangle z-buffer depth renderer (device).
+
+    Standard CV camera convention (+z forward), matching the Open3D
+    offscreen renders the reference's 2-D metric uses
+    (eval_recon.py:152-201).  Each triangle rasterizes into a patch x
+    patch pixel window anchored at its screen bbox (pre-subdivide large
+    triangles with subdivide_to_edge).
+
+    Returns render(tris (T, 3, 3) world coords, w2c (4, 4)) -> (H, W)
+    depth (0 where empty).
+    """
+    dy, dx = np.meshgrid(np.arange(patch), np.arange(patch), indexing="ij")
+    dx = jnp.asarray(dx.reshape(-1))
+    dy = jnp.asarray(dy.reshape(-1))
+
+    @jax.jit
+    def raster_chunk(zbuf, tris, w2c):
+        R = w2c[:3, :3]
+        t = w2c[:3, 3]
+        cam = tris @ R.T + t  # (T, 3, 3)
+        z = cam[..., 2]
+        valid_tri = jnp.all(z > 1e-4, axis=-1)
+        zs = jnp.where(valid_tri[:, None], z, 1.0)
+        u = fx * cam[..., 0] / zs + cx
+        v = fy * cam[..., 1] / zs + cy
+
+        ax = jnp.floor(jnp.min(u, -1))
+        ay = jnp.floor(jnp.min(v, -1))
+        small = ((jnp.max(u, -1) - ax) < patch) & \
+                ((jnp.max(v, -1) - ay) < patch)
+        valid_tri = valid_tri & small & (jnp.max(u, -1) >= 0) & \
+            (ax < W) & (jnp.max(v, -1) >= 0) & (ay < H)
+
+        px = ax[:, None] + dx[None, :]  # (T, P*P)
+        py = ay[:, None] + dy[None, :]
+
+        # edge functions in screen space
+        x0, y0 = u[:, 0, None], v[:, 0, None]
+        x1, y1 = u[:, 1, None], v[:, 1, None]
+        x2, y2 = u[:, 2, None], v[:, 2, None]
+        w0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        w1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+        w2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)  # (T, 1)
+        # slivers with ~zero projected area would otherwise pass the
+        # inside test with all-zero barycentrics
+        degenerate = jnp.abs(area[:, 0]) < 1e-9
+        area = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+        b0, b1, b2 = w0 / area, w1 / area, w2 / area
+        # small negative tolerance: pixels exactly on shared edges can
+        # round to the same tiny negative value in BOTH triangles (f32),
+        # punching pinholes; slight double-coverage is harmless under
+        # the z-min resolve.
+        eps = -1e-4
+        inside = (b0 >= eps) & (b1 >= eps) & (b2 >= eps)
+
+        inv_z = (b0 / zs[:, 0, None] + b1 / zs[:, 1, None]
+                 + b2 / zs[:, 2, None])
+        z_px = 1.0 / jnp.maximum(inv_z, 1e-9)
+
+        ok = inside & (valid_tri & ~degenerate)[:, None] & \
+            (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        z_px = jnp.where(ok, z_px, jnp.inf)
+        pxi = jnp.clip(px, 0, W - 1).astype(jnp.int32)
+        pyi = jnp.clip(py, 0, H - 1).astype(jnp.int32)
+        return zbuf.at[pyi.reshape(-1), pxi.reshape(-1)].min(
+            z_px.reshape(-1))
+
+    def render(tris: np.ndarray, w2c: np.ndarray) -> np.ndarray:
+        zbuf = jnp.full((H, W), jnp.inf)
+        tris_d = np.asarray(tris, np.float32)
+        w2c_d = jnp.asarray(w2c, jnp.float32)
+        n = len(tris_d)
+        pad = (-n) % chunk
+        if pad:
+            tris_d = np.concatenate(
+                [tris_d, np.zeros((pad, 3, 3), np.float32)], axis=0)
+        for i in range(0, len(tris_d), chunk):
+            zbuf = raster_chunk(zbuf, jnp.asarray(tris_d[i:i + chunk]), w2c_d)
+        out = np.array(zbuf)  # writable copy off-device
+        out[~np.isfinite(out)] = 0.0
+        return out
+
+    return render

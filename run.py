@@ -20,6 +20,9 @@ def main():
     parser.add_argument("--output", type=str, default=None,
                         help="Overrides the output folder in the config.")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the newest checkpoint in the "
+                             "output folder (full state, incl. the map).")
     args = parser.parse_args()
 
     cfg = load_config(args.config, DEFAULT_CONFIG)
@@ -29,7 +32,8 @@ def main():
     print(f"INFO: frames: {slam.n_img}, "
           f"camera {slam.cam.W}x{slam.cam.H}, "
           f"keyframe capacity {slam.store.capacity}")
-    slam.run()
+    start = slam.resume() if args.resume else 0
+    slam.run(start)
     print(f"INFO: done — {slam.fps:.2f} frames/s average")
 
 

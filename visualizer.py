@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Offline trajectory/mesh replay visualization.
+
+Equivalent of the reference's Open3D GUI replay (visualizer.py +
+src/tools/visualizer_util.py): loads the newest checkpoint of a run,
+replays estimated (red) vs ground-truth (green) trajectories over the
+reconstructed mesh, and writes per-frame images (and an mp4 when ffmpeg
+is available).  Headless-friendly: renders with the framework's z-buffer
+rasterizer + matplotlib instead of an interactive window.
+
+CLI: python visualizer.py <config> [--output DIR] [--top_view]
+     [--save_rendering] [--every N]
+"""
+
+import argparse
+import glob
+import os
+import subprocess
+
+import numpy as np
+
+
+def main():
+    from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+    from myslam_tpu.utils.logger import latest_checkpoint
+    from myslam_tpu.utils.meshmath import make_depth_rasterizer, subdivide_to_edge
+    from myslam_tpu.utils.ply import read_ply
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    parser = argparse.ArgumentParser(description="Replay a SLAM run.")
+    parser.add_argument("config", type=str)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--top_view", action="store_true")
+    parser.add_argument("--save_rendering", action="store_true",
+                        help="also encode vis/replay.mp4 when ffmpeg exists")
+    parser.add_argument("--every", type=int, default=10,
+                        help="render every Nth frame")
+    args = parser.parse_args()
+
+    cfg = load_config(args.config, DEFAULT_CONFIG)
+    output = args.output or cfg["data"]["output"]
+    ckpt = latest_checkpoint(os.path.join(output, "ckpts"))
+    if ckpt is None:
+        raise SystemExit(f"no checkpoints under {output}/ckpts")
+    data = np.load(ckpt, allow_pickle=True)
+    n = int(data["idx"]) + 1
+    est = data["estimate_c2w_list"][:n]
+    gt = data["gt_c2w_list"][:n]
+
+    meshes = sorted(glob.glob(os.path.join(output, "mesh", "*_culled.ply")))
+    depth_img = None
+    H = W = 600
+    if meshes:
+        verts, faces, _ = read_ply(meshes[-1])
+        verts, faces = subdivide_to_edge(verts, faces, 0.05)
+        center = verts.mean(0)
+        extent = (verts.max(0) - verts.min(0)).max()
+        if args.top_view:
+            eye = center + np.array([0.0, 0.0, 1.8 * extent])
+            fwd = np.array([0.0, 0.0, -1.0])
+            right = np.array([1.0, 0.0, 0.0])
+        else:
+            eye = center + np.array([0.0, -1.4 * extent, 0.9 * extent])
+            fwd = center - eye
+            fwd = fwd / np.linalg.norm(fwd)
+            right = np.cross(fwd, np.array([0.0, 0.0, 1.0]))
+            right = right / np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        c2w_vis = np.eye(4)
+        c2w_vis[:3, :3] = np.stack([right, down, fwd], 1)
+        c2w_vis[:3, 3] = eye
+        w2c = np.linalg.inv(c2w_vis)
+        render = make_depth_rasterizer(H, W, 500.0, 500.0, W / 2, H / 2)
+        depth_img = render(verts[faces], w2c)
+
+        def project(pts):
+            cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+            return (500.0 * cam[:, 0] / cam[:, 2] + W / 2,
+                    500.0 * cam[:, 1] / cam[:, 2] + H / 2)
+    else:
+        def project(pts):
+            return pts[:, 0], pts[:, 1]
+
+    vis_dir = os.path.join(output, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+    frames = []
+    for i in range(0, n, max(args.every, 1)):
+        fig, ax = plt.subplots(figsize=(7, 7))
+        if depth_img is not None:
+            ax.imshow(depth_img, cmap="gray_r", alpha=0.7)
+        ex, ey = project(est[: i + 1, :3, 3])
+        gx, gy = project(gt[: i + 1, :3, 3])
+        ax.plot(gx, gy, "-", color="green", linewidth=1.5,
+                label="ground truth")
+        ax.plot(ex, ey, "-", color="red", linewidth=1.5, label="estimated")
+        ax.scatter([ex[-1]], [ey[-1]], color="red", s=30, marker="o")
+        ax.legend(loc="upper right")
+        ax.set_title(f"frame {i}")
+        ax.set_xticks([])
+        ax.set_yticks([])
+        out = os.path.join(vis_dir, f"{i:05d}.jpg")
+        fig.savefig(out, dpi=90, bbox_inches="tight")
+        plt.close(fig)
+        frames.append(out)
+
+    print(f"Wrote {len(frames)} frames to {vis_dir}")
+    if args.save_rendering and frames:
+        mp4 = os.path.join(vis_dir, "replay.mp4")
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-framerate", "10", "-pattern_type", "glob",
+                 "-i", os.path.join(vis_dir, "*.jpg"), "-c:v", "libx264",
+                 "-pix_fmt", "yuv420p", mp4],
+                check=True, capture_output=True)
+            print(f"Wrote {mp4}")
+        except (FileNotFoundError, subprocess.CalledProcessError) as e:
+            print(f"ffmpeg unavailable/failed ({e}); frames kept as jpgs")
+
+
+if __name__ == "__main__":
+    main()
