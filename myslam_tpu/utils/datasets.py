@@ -168,8 +168,8 @@ class TUMRGBD(BaseDataset):
 
     @staticmethod
     def _parse_list(filepath, skiprows=0):
-        return np.loadtxt(filepath, delimiter=" ", dtype=np.str_,
-                          skiprows=skiprows)
+        return np.atleast_2d(np.loadtxt(
+            filepath, delimiter=" ", dtype=np.str_, skiprows=skiprows))
 
     @staticmethod
     def associate_frames(t_img, t_depth, t_pose, max_dt=0.08):
