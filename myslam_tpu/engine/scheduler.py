@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -134,11 +135,44 @@ class SLAMSystem:
                     importance=imp)
         self.scorer = make_overlap_scorer(self.cam)
 
-        self.estimates = np.zeros((self.n_img, 4, 4), np.float32)
+        w_max = self.w_max
+
+        @jax.jit
+        def _window_poses(kf_est, est_poses, slot_kf, n_slots, idx):
+            """(W_MAX, 7) window poses: keyframe store poses for slots
+            [0, n_slots-1), the current frame's estimate in the last
+            active slot; all assembled on device."""
+            c2ws = kf_est[slot_kf]  # (W_MAX, 4, 4)
+            is_cur = jnp.arange(w_max) == n_slots - 1
+            c2ws = jnp.where(
+                is_cur[:, None, None], est_poses[idx][None], c2ws)
+            return matrix_to_cam_pose(c2ws)
+
+        @partial(jax.jit, static_argnames=("const_speed",))
+        def _pose_init(est_poses, idx, const_speed):
+            """Tracking init: previous pose or constant-speed extrapolation
+            in (quat, trans) space (reference src/Tracker.py:282-289)."""
+            prev = matrix_to_cam_pose(est_poses[idx - 1][None])[0]
+            if not const_speed:
+                return prev
+            prev_prev = matrix_to_cam_pose(
+                est_poses[jnp.maximum(idx - 2, 0)][None])[0]
+            return constant_speed_init(prev, prev_prev, True)
+
+        self._window_poses = _window_poses
+        self._pose_init = _pose_init
+
+        # Estimated trajectory lives ON DEVICE: per-frame pose writes,
+        # tracking initialization and BA window assembly never round-trip
+        # to the host (each host fetch through the remote TPU tunnel costs
+        # milliseconds).  `estimates` is a synced host view.
+        self._est_dev = jnp.zeros((self.n_img, 4, 4), jnp.float32)
         self.gt_poses = np.zeros((self.n_img, 4, 4), np.float32)
         self.frame_times: list[float] = []
         self.metrics_path = os.path.join(self.output, "metrics.jsonl")
         self._metrics_f = open(self.metrics_path, "a")
+        self._pending_metrics: list[dict] = []
+        self.metrics_flush_every = 25
 
         self.mesher = Mesher(cfg, self.scene, self.cam)
         self.mesh_freq = int(m["mesh_freq"])
@@ -164,20 +198,49 @@ class SLAMSystem:
 
     # -- internals ---------------------------------------------------------
 
+    @property
+    def estimates(self) -> np.ndarray:
+        """Host view of the estimated trajectory (blocking device fetch)."""
+        return np.asarray(self._est_dev)
+
+    @estimates.setter
+    def estimates(self, value) -> None:
+        self._est_dev = jnp.asarray(value)
+
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
 
     def _log_metrics(self, record: dict) -> None:
-        self._metrics_f.write(json.dumps(record) + "\n")
+        """Queue a metrics record; device scalars are fetched in batches."""
+        self._pending_metrics.append(record)
+        if len(self._pending_metrics) >= self.metrics_flush_every:
+            self._flush_metrics()
+
+    def _flush_metrics(self) -> None:
+        if not self._pending_metrics:
+            return
+        # one batched fetch for all queued device scalars
+        scalars = [
+            (rec, k) for rec in self._pending_metrics
+            for k, v in rec.items() if isinstance(v, jnp.ndarray)
+        ]
+        if scalars:
+            vals = np.asarray(jnp.stack(
+                [rec[k].astype(jnp.float32) for rec, k in scalars]))
+            for (rec, k), v in zip(scalars, vals):
+                rec[k] = float(v)
+        for rec in self._pending_metrics:
+            self._metrics_f.write(json.dumps(rec) + "\n")
         self._metrics_f.flush()
+        self._pending_metrics = []
 
     def _map_frame(self, idx: int, color_dev, depth_dev, gt_c2w: np.ndarray,
                    first: bool, cur_has_depthless: bool) -> dict:
         """Run one mapping/BA step on frame idx (current est pose in
-        self.estimates[idx])."""
+        self._est_dev[idx])."""
         t0 = time.time()
-        cur_c2w = jnp.asarray(self.estimates[idx])
+        cur_c2w = self._est_dev[idx]
 
         # Stage current frame imagery into the scratch slot (in place).
         self.store.write_imagery(self.scratch_slot, color_dev, depth_dev)
@@ -191,16 +254,12 @@ class SLAMSystem:
         n_slots = len(slots)
         joint_opt = self.joint_opt_enabled and (self.store.count > 4)
 
-        window_c2ws = [np.asarray(self.store.est_c2w[s]) for s in kf_slots]
-        window_c2ws.append(self.estimates[idx])
-        poses7 = np.asarray(matrix_to_cam_pose(jnp.asarray(
-            np.stack(window_c2ws, axis=0))))
-
-        poses_pad = np.zeros((self.w_max, 7), np.float32)
-        poses_pad[:, 0] = 1.0  # identity quaternions in padding
-        poses_pad[:n_slots] = poses7
         slot_kf = np.zeros((self.w_max,), np.int32)
         slot_kf[:n_slots] = slots
+        slot_kf_dev = jnp.asarray(slot_kf)
+        poses_pad = self._window_poses(
+            self.store.est_c2w, self._est_dev, slot_kf_dev,
+            jnp.int32(n_slots), jnp.int32(idx))
         pose_mask = np.zeros((self.w_max,), np.float32)
         if joint_opt and n_slots > 1:
             pose_mask[1:n_slots] = 1.0  # oldest window frame stays frozen
@@ -210,9 +269,9 @@ class SLAMSystem:
         mapper = self._mappers[(first, needs_importance)]
         self.map_state, poses_out, losses = mapper(
             self.map_state,
-            jnp.asarray(poses_pad),
+            poses_pad,
             jnp.asarray(pose_mask),
-            jnp.asarray(slot_kf),
+            slot_kf_dev,
             jnp.int32(n_slots),
             self.store.colors,
             self.store.depths,
@@ -226,16 +285,16 @@ class SLAMSystem:
             if len(kf_slots) > 1:
                 self.store.set_est_poses(
                     np.asarray(kf_slots[1:]), opt_c2ws[1:len(kf_slots)])
-            self.estimates[idx] = np.asarray(opt_c2ws[n_slots - 1])
+            self._est_dev = self._est_dev.at[idx].set(
+                opt_c2ws[n_slots - 1])
 
         # Keyframe admission (after optimization, reference Mapper.py:429).
         if idx % self.keyframe_every == 0:
             self.store.add(
                 idx, color_dev, depth_dev,
-                jnp.asarray(self.estimates[idx]), jnp.asarray(gt_c2w),
+                self._est_dev[idx], jnp.asarray(gt_c2w),
                 has_depthless=cur_has_depthless)
 
-        map_loss = float(losses[-1])
         dt = time.time() - t0
 
         # Post-mapping bookkeeping at the reference's frequencies
@@ -245,9 +304,10 @@ class SLAMSystem:
         if not (idx == 0 and self.no_vis_on_first_frame):
             self.map_vis.save_imgs(
                 idx, 0, np.asarray(depth_dev), np.asarray(color_dev),
-                self.estimates[idx], self.map_state, self._next_key())
+                self._est_dev[idx], self.map_state, self._next_key())
         if ((not (idx == 0 and self.no_log_on_first_frame))
                 and idx % self.ckpt_freq == 0) or idx == self.n_img - 1:
+            self._flush_metrics()
             save_checkpoint(
                 os.path.join(self.output, "ckpts", f"{idx:05d}.npz"),
                 self, idx)
@@ -258,41 +318,38 @@ class SLAMSystem:
                 upto=idx + 1)
 
         if self.verbose:
-            print(f"Mapping frame {idx}: loss {map_loss:.5f} ({dt*1e3:.0f} ms)")
-        return {"map_loss": map_loss, "map_ms": dt * 1e3}
+            print(f"Mapping frame {idx}: loss {float(losses[-1]):.5f} "
+                  f"({dt*1e3:.0f} ms)")
+        return {"map_loss": losses[-1], "map_ms": dt * 1e3}
 
     def _extract_and_cull_mesh(self, path: str, upto: int) -> str:
         """Extract the current mesh and cull it with frames [0, upto)."""
         from myslam_tpu.tools.cull_mesh import cull_mesh
 
         self.mesher.get_mesh(path, self.map_state, self.store)
-        frames = ((self.dataset.get_frame(i)[1], self.estimates[i])
+        est_np = self.estimates  # one device fetch
+        frames = ((self.dataset.get_frame(i)[1], est_np[i])
                   for i in range(upto))
         return cull_mesh(path, self.cfg, frames,
-                         estimate_c2w_list=self.estimates[:upto])
+                         estimate_c2w_list=est_np[:upto])
 
     def _track_frame(self, idx: int, color_dev, depth_dev) -> dict:
         t0 = time.time()
-        prev = jnp.asarray(self.estimates[idx - 1])
-        if self.const_speed and idx >= 2:
-            both = matrix_to_cam_pose(jnp.asarray(
-                np.stack([self.estimates[idx - 2],
-                          self.estimates[idx - 1]], axis=0)))
-            pose_init = constant_speed_init(both[1], both[0], True)
-        else:
-            pose_init = matrix_to_cam_pose(prev[None])[0]
+        pose_init = self._pose_init(
+            self._est_dev, jnp.int32(idx), self.const_speed and idx >= 2)
 
         best_pose, losses = self.tracker(
             self.map_state, pose_init, color_dev, depth_dev, self._next_key())
         c2w = cam_pose_to_matrix(best_pose[None])[0]
-        self.estimates[idx] = np.asarray(c2w)
-        self.track_vis.save_imgs(
-            idx, 0, np.asarray(depth_dev), np.asarray(color_dev),
-            self.estimates[idx], self.map_state, self._next_key())
+        self._est_dev = self._est_dev.at[idx].set(c2w)
+        if idx % self.track_vis.freq == 0:
+            self.track_vis.save_imgs(
+                idx, 0, np.asarray(depth_dev), np.asarray(color_dev),
+                c2w, self.map_state, self._next_key())
         dt = time.time() - t0
         return {
-            "track_loss_first": float(losses[0]),
-            "track_loss_best": float(jnp.min(losses)),
+            "track_loss_first": losses[0],
+            "track_loss_best": jnp.min(losses),
             "track_ms": dt * 1e3,
         }
 
@@ -322,7 +379,8 @@ class SLAMSystem:
             rec = {"frame": idx}
 
             if idx == 0 or self.gt_camera:
-                self.estimates[idx] = gt_c2w
+                self._est_dev = self._est_dev.at[idx].set(
+                    jnp.asarray(gt_c2w))
             else:
                 rec.update(self._track_frame(idx, color_dev, depth_dev))
 
@@ -339,6 +397,11 @@ class SLAMSystem:
             if self.verbose and idx % 50 == 0:
                 print(f"Frame {idx}/{self.n_img}  "
                       f"({idx / max(time.time() - t_start, 1e-9):.2f} fps)")
+
+        # Drain the device queue so fps reflects completed work, then
+        # finalize outputs.
+        jax.block_until_ready(self._est_dev)
+        self._flush_metrics()
 
         # Final mesh (reference Mapper.py:448-456).
         name = "final_mesh_eval_rec.ply" if self.eval_rec else "final_mesh.ply"

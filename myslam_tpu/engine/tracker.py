@@ -34,6 +34,7 @@ from myslam_tpu.core.quaternion import cam_pose_to_matrix
 from myslam_tpu.core.sampling import gather_pixels, sample_pixels
 from myslam_tpu.engine.camera import Camera
 from myslam_tpu.models.planes import MapState
+from myslam_tpu.ops.plane_sample import pack_quad
 from myslam_tpu.render.renderer import SceneGeometry, render_rays
 
 
@@ -48,11 +49,16 @@ def constant_speed_init(
     return jnp.where(use_const_speed, extrapolated, prev)
 
 
-def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera):
+def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
+                 ray_sharding=None):
     """Build the jitted per-frame tracking function.
 
     Returns track(ms, pose_init7, gt_color, gt_depth, key)
       -> (best_pose7, losses (iters,)).
+
+    ``ray_sharding``: optional NamedSharding to shard the pixel batch over
+    a device mesh (data-parallel tracking; the 7-dof pose gradient is
+    psum'd by XLA automatically).
     """
     t = cfg["tracking"]
     n_px = int(t["pixels"])
@@ -74,11 +80,14 @@ def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera):
 
     bound = scene.bound_array
 
-    def loss_fn(params, ms: MapState, gt_color, gt_depth, key):
+    def loss_fn(params, ms: MapState, quads, gt_color, gt_depth, key):
         pose = jnp.concatenate([params["R"], params["T"]])
         c2w = cam_pose_to_matrix(pose[None])[0]
         k_px, k_render = jax.random.split(key)
         i, j = sample_pixels(k_px, n_px, ie_h, cam.H - ie_h, ie_w, cam.W - ie_w)
+        if ray_sharding is not None:
+            i = jax.lax.with_sharding_constraint(i, ray_sharding)
+            j = jax.lax.with_sharding_constraint(j, ray_sharding)
         px_depth = gather_pixels(gt_depth, i, j)
         px_color = gather_pixels(gt_color, i, j).astype(jnp.float32)
         rays_o, rays_d = rays_from_uv(i, j, c2w, cam.fx, cam.fy, cam.cx, cam.cy)
@@ -89,7 +98,8 @@ def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera):
         inside = (t_exit >= px_depth) & (px_depth > 0)
 
         depth, color, sdf, z_vals = render_rays(
-            k_render, ms, scene, rays_o, rays_d, px_depth, importance=False
+            k_render, ms, scene, rays_o, rays_d, px_depth, importance=False,
+            sdf_quad=quads[0], color_quad=quads[1]
         )
 
         err = jnp.abs(px_depth - jax.lax.stop_gradient(depth))
@@ -106,12 +116,16 @@ def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera):
     def track(ms: MapState, pose_init: jnp.ndarray, gt_color, gt_depth, key):
         params0 = {"R": pose_init[:4], "T": pose_init[4:]}
         opt0 = optimizer.init(params0)
+        # The map is frozen for the whole per-frame optimization: pack the
+        # quad atlases once, outside the iteration scan.
+        quads = (pack_quad(ms.sdf_atlas, scene.sdf_layout),
+                 pack_quad(ms.color_atlas, scene.color_layout))
 
         def step(carry, it):
             params, opt_state, best_loss, best_pose = carry
             k = jax.random.fold_in(key, it)
             loss, grads = jax.value_and_grad(loss_fn)(
-                params, ms, gt_color, gt_depth, k
+                params, ms, quads, gt_color, gt_depth, k
             )
             pose = jnp.concatenate([params["R"], params["T"]])
             better = loss < best_loss

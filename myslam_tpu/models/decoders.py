@@ -68,3 +68,33 @@ def decode_sdf(params: dict, feat: jnp.ndarray) -> jnp.ndarray:
 def decode_rgb(params: dict, feat: jnp.ndarray) -> jnp.ndarray:
     """(N, 2*c_dim) features -> (N, 3) rgb in (0, 1) (sigmoid head)."""
     return jax.nn.sigmoid(_mlp(params["rgb"], params["rgb_out"], feat))
+
+
+def _mlp_corners(layers, out_layer, corners, row_map):
+    """MLP whose FIRST layer consumes unreduced corner features.
+
+    The tri-plane corner/orientation/level reduction is a constant
+    block-identity matrix M, so feat @ W1 == corners @ W1[row_map] — the
+    reduction rides the first layer's matmul for free instead of costing
+    a separate full-width dot (measured ~13 ms/iter in mapping).
+    """
+    w1, b1 = layers[0]
+    h = jax.nn.relu(corners @ w1[row_map] + b1)
+    for w, b in layers[1:]:
+        h = jax.nn.relu(h @ w + b)
+    return h @ out_layer[0] + out_layer[1]
+
+
+def decode_sdf_corners(params: dict, corners: jnp.ndarray,
+                       row_map: jnp.ndarray) -> jnp.ndarray:
+    """(N, P*4C) corner features -> (N,) sdf (tanh head)."""
+    return jnp.tanh(
+        _mlp_corners(params["sdf"], params["sdf_out"], corners, row_map)
+    )[..., 0]
+
+
+def decode_rgb_corners(params: dict, corners: jnp.ndarray,
+                       row_map: jnp.ndarray) -> jnp.ndarray:
+    """(N, P*4C) corner features -> (N, 3) rgb (sigmoid head)."""
+    return jax.nn.sigmoid(
+        _mlp_corners(params["rgb"], params["rgb_out"], corners, row_map))

@@ -58,13 +58,17 @@ def _cell_index_and_lane_weights(p_nor: jnp.ndarray, layout: PlaneLayout):
     """Quad-atlas row indices plus bilinear weights already broadcast into
     the 128-lane corner layout.
 
-    Building (N, P, 4C) weights directly from lane-index masks keeps every
-    array 4C(=128)-lane wide; a (..., 4, C) reshape would force a padded
-    C-lane relayout that costs more than the gather itself (measured).
+    Building (N, P, 4C) weights directly in lane space keeps every array
+    4C(=128)-lane wide; a (..., 4, C) reshape would force a padded C-lane
+    relayout that costs more than the gather itself (measured).  The
+    per-corner select is written algebraically —
+        w = (0.5 + (wx-0.5)*sx) * (0.5 + (wy-0.5)*sy)
+    with constant sign vectors sx/sy — so XLA fuses the whole weighting
+    into a single elementwise pass over the gathered rows (the
+    where-based form materialized two full-size selects, ~7 ms/iter).
 
-    Returns idx (N, P) int32 and w (N, P, 4C) with
-    w[..., c] = wy_factor(c) * wx_factor(c) for corner c // C in
-    [tl, tr, bl, br] order (matching pack_quad).
+    Returns idx (N, P) int32 and w (N, P, 4C); corner order
+    [tl, tr, bl, br] matches pack_quad.
     """
     idx_parts, wx_parts, wy_parts = [], [], []
     for lvl in range(layout.n_levels):
@@ -84,12 +88,48 @@ def _cell_index_and_lane_weights(p_nor: jnp.ndarray, layout: PlaneLayout):
     idx = jnp.stack(idx_parts, axis=-1)  # (N, P)
     wx = jnp.stack(wx_parts, axis=-1)[..., None]  # (N, P, 1)
     wy = jnp.stack(wy_parts, axis=-1)[..., None]
-    C4 = 4 * layout.c_dim
-    lane = jnp.arange(C4)
-    right = (lane // layout.c_dim) % 2 == 1  # corners tr, br
-    bottom = lane >= C4 // 2  # corners bl, br
-    w = jnp.where(right, wx, 1.0 - wx) * jnp.where(bottom, wy, 1.0 - wy)
+    C = layout.c_dim
+    C4 = 4 * C
+    lane = np.arange(C4)
+    sx = jnp.asarray(np.where((lane // C) % 2 == 1, 1.0, -1.0), jnp.float32)
+    sy = jnp.asarray(np.where(lane >= C4 // 2, 1.0, -1.0), jnp.float32)
+    w = (0.5 + (wx - 0.5) * sx) * (0.5 + (wy - 0.5) * sy)
     return idx, w
+
+
+def corner_row_map(layout: PlaneLayout) -> np.ndarray:
+    """Constant map from expanded corner-feature rows (P*4C) to feature
+    rows (L*C): corner row (p, c, k) -> level(p)*C + k.
+
+    Lets consumers fold the corner/orientation/level reduction into their
+    own first matmul: for any (L*C, D) matrix W,
+        corners @ W[corner_row_map] == (corners @ reduce_matrix) @ W,
+    skipping the explicit reduction (see decoders.decode_*_corners).
+    """
+    C = layout.c_dim
+    P = layout.n_levels * 3
+    r = np.arange(P * 4 * C)
+    level = r // (4 * C * 3)
+    k = r % C
+    return level * C + k
+
+
+def sample_quad_corners(
+    quad: jnp.ndarray, layout: PlaneLayout, p_nor: jnp.ndarray
+) -> jnp.ndarray:
+    """Weighted corner features, unreduced: (N, P*4C).
+
+    The hot-path form: one row gather + one fused elementwise weighting.
+    ``corners @ _reduce_matrix`` equals sample_quad's output; consumers
+    should instead fold the reduction into their first matmul via
+    corner_row_map.
+    """
+    n = p_nor.shape[0]
+    P = layout.n_levels * 3
+    C4 = quad.shape[-1]
+    idx, w = _cell_index_and_lane_weights(p_nor, layout)
+    g = jnp.take(quad, idx.reshape(-1), axis=0).reshape(n, P, C4)
+    return (g * w.astype(quad.dtype)).reshape(n, P * C4)
 
 
 def _reduce_matrix(layout: PlaneLayout, dtype) -> jnp.ndarray:
@@ -119,16 +159,11 @@ def sample_quad(
     coarse-to-fine (reference src/networks/decoders.py:77-83).
 
     Pipeline: one lane-aligned row gather, lane-space bilinear weighting,
-    and a single matmul against a constant block-identity matrix for the
-    corner/orientation/level reduction (keeps everything 128-lane wide;
-    the MXU does the reduction essentially for free).
+    and a matmul against a constant block-identity matrix for the
+    corner/orientation/level reduction.  NOTE: hot paths should prefer
+    sample_quad_corners + corner_row_map folding (skips this matmul).
     """
-    n = p_nor.shape[0]
-    P = layout.n_levels * 3
-    C4 = quad.shape[-1]
-    idx, w = _cell_index_and_lane_weights(p_nor, layout)  # (N,P), (N,P,4C)
-    g = jnp.take(quad, idx.reshape(-1), axis=0).reshape(n, P, C4)
-    weighted = (g * w.astype(quad.dtype)).reshape(n, P * C4)
+    weighted = sample_quad_corners(quad, layout, p_nor)
     reduce_m = _reduce_matrix(layout, quad.dtype)
     return jnp.dot(weighted, reduce_m, preferred_element_type=jnp.float32)
 

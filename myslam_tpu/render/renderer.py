@@ -57,6 +57,8 @@ def query_sdf(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray,
     """Raw SDF at normalized points (reference src/networks/decoders.py:87).
 
     ``sdf_quad``: optional pre-packed quad atlas (pack once per program).
+    The plane-feature reduction is folded into the decoder's first layer
+    (see decode_sdf_corners).
     """
     if sdf_quad is None:
         sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
@@ -146,15 +148,23 @@ def render_rays(
     rays_d: jnp.ndarray,
     gt_depth: jnp.ndarray,
     importance: bool,
+    sdf_quad=None,
+    color_quad=None,
 ):
     """Render a batch of rays.
 
     Returns (depth (R,), color (R, 3), sdf (R, N), z_vals (R, N)) —
     the reference's render_batch_ray contract (src/utils/Renderer.py:63-147).
+
+    ``sdf_quad``/``color_quad``: optional pre-packed quad atlases — pass
+    them when the map is frozen across many render calls (tracking) so the
+    pack runs once instead of per call.
     """
     # Pack the quad atlases once; every query in this program reuses them.
-    sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
-    color_quad = pack_quad(ms.color_atlas, scene.color_layout)
+    if sdf_quad is None:
+        sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
+    if color_quad is None:
+        color_quad = pack_quad(ms.color_atlas, scene.color_layout)
     z_vals = build_z_vals(key, ms, scene, rays_o, rays_d, gt_depth,
                           importance, sdf_quad)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]

@@ -44,7 +44,7 @@ def main():
     color, depth, gt_c2w = slam.dataset.get_frame(0)
     color = jnp.asarray(color)
     depth = jnp.asarray(depth)
-    slam.estimates[0] = gt_c2w
+    slam._est_dev = slam._est_dev.at[0].set(jnp.asarray(gt_c2w))
     slam.gt_poses[0] = gt_c2w
 
     # --- tracking step ---

@@ -95,6 +95,39 @@ def test_atlas_gradient_matches_grid_sample():
         )
 
 
+def test_corner_folding_matches_reduced_path():
+    """decode(feat) == decode_corners(corners) with the reduction folded
+    into the first decoder layer."""
+    import jax.numpy as jnp
+
+    from myslam_tpu.models.decoders import (
+        decode_sdf,
+        decode_sdf_corners,
+        init_decoder_params,
+    )
+    from myslam_tpu.ops.plane_sample import (
+        corner_row_map,
+        pack_quad,
+        sample_quad,
+        sample_quad_corners,
+    )
+
+    layout = make_layout(jnp.asarray(BOUND), [0.24, 0.06], C_DIM)
+    atlas, _ = make_atlas_and_planes(layout, 7)
+    rng = np.random.default_rng(8)
+    p_nor = rng.uniform(-1.1, 1.1, size=(256, 3)).astype(np.float32)
+    quad = pack_quad(jnp.asarray(atlas), layout)
+
+    params = init_decoder_params(jax.random.PRNGKey(0), c_dim=C_DIM)
+    feat = sample_quad(quad, layout, jnp.asarray(p_nor))
+    corners = sample_quad_corners(quad, layout, jnp.asarray(p_nor))
+    row_map = jnp.asarray(corner_row_map(layout))
+
+    a = np.asarray(decode_sdf(params, feat))
+    b = np.asarray(decode_sdf_corners(params, corners, row_map))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+
 def test_coordinate_gradient_matches_grid_sample():
     layout = make_layout(jnp.asarray(BOUND), [0.24], C_DIM)
     atlas, planes = make_atlas_and_planes(layout, 4)
