@@ -35,6 +35,27 @@ _write_slot_donated = jax.jit(
     donate_argnums=(0,),
 )
 
+# Packed-imagery write: frames cross the host-device link as uint8 color
+# and uint16 quantized depth (see datasets.FramePacket) and are dequantized
+# on device into the store's dtypes.
+_write_color_u8 = jax.jit(
+    lambda buf, slot, u8: buf.at[slot].set(
+        (u8.astype(jnp.float32) * (1.0 / 255.0)).astype(buf.dtype)),
+    donate_argnums=(0,),
+)
+_write_depth_u16 = jax.jit(
+    lambda buf, slot, u16, inv_q: buf.at[slot].set(
+        u16.astype(jnp.float32) * inv_q),
+    donate_argnums=(0,),
+)
+
+# Device-side slot-to-slot copy (keyframe admission copies the scratch
+# slot's imagery without re-crossing the link).
+_copy_slot = jax.jit(
+    lambda buf, dst, src: buf.at[dst].set(buf[src]),
+    donate_argnums=(0,),
+)
+
 
 class KeyframeStore:
     """Fixed-capacity device-resident keyframe imagery + poses."""
@@ -57,6 +78,13 @@ class KeyframeStore:
         self.colors = _write_slot_donated(self.colors, slot, color)
         self.depths = _write_slot_donated(self.depths, slot, depth)
 
+    def write_imagery_packed(self, slot: int, color_u8, depth_u16,
+                             depth_inv_q: float) -> None:
+        """In-place write from a FramePacket's uint8/uint16 encoding."""
+        self.colors = _write_color_u8(self.colors, slot, color_u8)
+        self.depths = _write_depth_u16(
+            self.depths, slot, depth_u16, jnp.float32(depth_inv_q))
+
     def add(self, frame_id: int, color, depth, est_c2w, gt_c2w,
             has_depthless: bool = True) -> int:
         if self.count >= self.capacity:
@@ -64,6 +92,22 @@ class KeyframeStore:
         pos = self.count
         self.has_depthless[pos] = bool(has_depthless)
         self.write_imagery(pos, color, depth)
+        self.est_c2w = _write_slot(self.est_c2w, pos, est_c2w)
+        self.gt_c2w = _write_slot(self.gt_c2w, pos, gt_c2w)
+        self.frame_ids.append(int(frame_id))
+        self.count += 1
+        return pos
+
+    def add_from_slot(self, frame_id: int, src_slot: int, est_c2w, gt_c2w,
+                      has_depthless: bool = True) -> int:
+        """Admit a keyframe whose imagery already lives in ``src_slot``
+        (device-to-device copy, no host involvement)."""
+        if self.count >= self.capacity:
+            raise RuntimeError("keyframe store full")
+        pos = self.count
+        self.has_depthless[pos] = bool(has_depthless)
+        self.colors = _copy_slot(self.colors, pos, src_slot)
+        self.depths = _copy_slot(self.depths, pos, src_slot)
         self.est_c2w = _write_slot(self.est_c2w, pos, est_c2w)
         self.gt_c2w = _write_slot(self.gt_c2w, pos, gt_c2w)
         self.frame_ids.append(int(frame_id))

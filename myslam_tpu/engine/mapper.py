@@ -146,19 +146,18 @@ def make_mapper(
         loss = loss + w_depth * depth_loss(px_depth, depth, dmask)
         return loss
 
-    def map_step(
-        ms: MapState,
-        poses: jnp.ndarray,
+    def run_chunk(
+        params,
+        opt_state,
         pose_mask: jnp.ndarray,
         slot_kf: jnp.ndarray,
         n_slots: jnp.ndarray,
         kf_colors: jnp.ndarray,
         kf_depths: jnp.ndarray,
         key: jax.Array,
+        start: jnp.ndarray,
+        chunk: int,
     ):
-        params0 = {"map": ms, "poses": poses}
-        opt0 = optimizer.init(params0)
-
         def step(carry, it):
             params, opt_state = carry
             k = jax.random.fold_in(key, it)
@@ -169,9 +168,53 @@ def make_mapper(
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        (params, _), losses = jax.lax.scan(
-            step, (params0, opt0), jnp.arange(iters)
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), start + jnp.arange(chunk)
         )
-        return params["map"], params["poses"], losses
+        return params, opt_state, losses
 
-    return jax.jit(map_step, donate_argnums=(0,))
+    # The optimization is executed in bounded-duration device programs
+    # (<= chunk_iters iterations each) with the Adam state carried across
+    # calls: one arbitrarily long first-frame schedule (reference
+    # iters_first=1000, src/Mapper.py:412-417) would otherwise run as a
+    # single ~minute-long XLA program, which trips runtime watchdogs.
+    chunk_iters = min(int(cfg["mapping"].get("chunk_iters", 100)), iters)
+    jit_chunk = jax.jit(
+        run_chunk, static_argnames=("chunk",), donate_argnums=(0, 1))
+    jit_init = jax.jit(optimizer.init)
+
+    def map_step(
+        ms: MapState,
+        poses: jnp.ndarray,
+        pose_mask: jnp.ndarray,
+        slot_kf: jnp.ndarray,
+        n_slots: jnp.ndarray,
+        kf_colors: jnp.ndarray,
+        kf_depths: jnp.ndarray,
+        key: jax.Array,
+    ):
+        # Donation contract: ``ms`` is consumed (updated in place across
+        # chunks); ``poses`` is copied so the caller's buffer stays valid.
+        params = {"map": ms, "poses": jnp.copy(poses)}
+        opt_state = jit_init(params)
+        losses = []
+        done = 0
+        while done < iters:
+            n = min(chunk_iters, iters - done)
+            # Equal-size chunks except possibly the last -> at most two
+            # compiled variants per mapper.
+            params, opt_state, chunk_losses = jit_chunk(
+                params, opt_state, pose_mask, slot_kf, n_slots,
+                kf_colors, kf_depths, key, jnp.int32(done), chunk=n)
+            losses.append(chunk_losses)
+            done += n
+        all_losses = (
+            losses[0] if len(losses) == 1
+            else jnp.concatenate(losses, axis=0))
+        return params["map"], params["poses"], all_losses
+
+    # Exposed for profiling / AOT tooling.
+    map_step.jit_chunk = jit_chunk
+    map_step.jit_init = jit_init
+    map_step.chunk_iters = chunk_iters
+    return map_step

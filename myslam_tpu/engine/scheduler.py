@@ -37,7 +37,11 @@ from myslam_tpu.engine.tracker import constant_speed_init, make_tracker
 from myslam_tpu.models.decoders import init_decoder_params
 from myslam_tpu.models.planes import make_layout, init_map_state
 from myslam_tpu.render.renderer import SceneGeometry
-from myslam_tpu.utils.datasets import Prefetcher, get_dataset
+from myslam_tpu.utils.datasets import (
+    PacketPrefetcher,
+    build_packet,
+    get_dataset,
+)
 from myslam_tpu.utils.logger import save_checkpoint
 from myslam_tpu.utils.mesher import Mesher
 from myslam_tpu.utils.visualizer import FrameVisualizer
@@ -90,6 +94,7 @@ class SLAMSystem:
             perturb=bool(r["perturb"]),
         )
 
+        self.seed = seed
         self.key = jax.random.PRNGKey(seed)
         self.rng = np.random.default_rng(seed)
         kd, km = jax.random.split(self.key)
@@ -159,8 +164,24 @@ class SLAMSystem:
                 est_poses[jnp.maximum(idx - 2, 0)][None])[0]
             return constant_speed_init(prev, prev_prev, True)
 
+        @jax.jit
+        def _pose_writeback(kf_est, est_dev, poses_out, slot_kf, write_mask,
+                            idx, cur_pos):
+            """Fixed-shape post-BA pose write-back (one program, no
+            per-window-size recompiles): optimized window poses scatter
+            into the keyframe store where write_mask=1 (frozen/padded
+            slots rewrite their existing value), and the current frame's
+            pose lands in the trajectory at idx."""
+            c2ws = cam_pose_to_matrix(poses_out)  # (W_MAX, 4, 4)
+            old = kf_est[slot_kf]
+            new = jnp.where(write_mask[:, None, None] > 0, c2ws, old)
+            kf_est = kf_est.at[slot_kf].set(new)
+            est_dev = est_dev.at[idx].set(c2ws[cur_pos])
+            return kf_est, est_dev
+
         self._window_poses = _window_poses
         self._pose_init = _pose_init
+        self._pose_writeback = _pose_writeback
 
         # Estimated trajectory lives ON DEVICE: per-frame pose writes,
         # tracking initialization and BA window assembly never round-trip
@@ -226,24 +247,27 @@ class SLAMSystem:
             for k, v in rec.items() if isinstance(v, jnp.ndarray)
         ]
         if scalars:
-            vals = np.asarray(jnp.stack(
-                [rec[k].astype(jnp.float32) for rec, k in scalars]))
-            for (rec, k), v in zip(scalars, vals):
+            # Pad to a bucket size so the stacking program compiles for a
+            # handful of shapes instead of one per distinct record count.
+            vals = [rec[k].astype(jnp.float32) for rec, k in scalars]
+            bucket = -(-len(vals) // 64) * 64
+            vals += [vals[0]] * (bucket - len(vals))
+            fetched = np.asarray(jnp.stack(vals))
+            for (rec, k), v in zip(scalars, fetched):
                 rec[k] = float(v)
         for rec in self._pending_metrics:
             self._metrics_f.write(json.dumps(rec) + "\n")
         self._metrics_f.flush()
         self._pending_metrics = []
 
-    def _map_frame(self, idx: int, color_dev, depth_dev, gt_c2w: np.ndarray,
+    def _map_frame(self, idx: int, gt_c2w: np.ndarray,
                    first: bool, cur_has_depthless: bool) -> dict:
-        """Run one mapping/BA step on frame idx (current est pose in
-        self._est_dev[idx])."""
+        """Run one mapping/BA step on frame idx.  The current frame's
+        imagery must already be staged in the store's scratch slot; its
+        estimated pose is in self._est_dev[idx]."""
         t0 = time.time()
         cur_c2w = self._est_dev[idx]
-
-        # Stage current frame imagery into the scratch slot (in place).
-        self.store.write_imagery(self.scratch_slot, color_dev, depth_dev)
+        depth_dev = self.store.depths[self.scratch_slot]
 
         kf_slots = select_window(
             self.rng, self.scorer, self.store, cur_c2w, depth_dev,
@@ -279,19 +303,18 @@ class SLAMSystem:
         )
 
         if joint_opt and n_slots > 1:
-            opt_c2ws = cam_pose_to_matrix(poses_out[:n_slots])
             # Keyframe entries (all but the frozen oldest) get their
             # optimized poses; the current frame updates the trajectory.
-            if len(kf_slots) > 1:
-                self.store.set_est_poses(
-                    np.asarray(kf_slots[1:]), opt_c2ws[1:len(kf_slots)])
-            self._est_dev = self._est_dev.at[idx].set(
-                opt_c2ws[n_slots - 1])
+            self.store.est_c2w, self._est_dev = self._pose_writeback(
+                self.store.est_c2w, self._est_dev, poses_out,
+                slot_kf_dev, jnp.asarray(pose_mask), jnp.int32(idx),
+                jnp.int32(n_slots - 1))
 
-        # Keyframe admission (after optimization, reference Mapper.py:429).
+        # Keyframe admission (after optimization, reference Mapper.py:429):
+        # device-side copy out of the scratch slot.
         if idx % self.keyframe_every == 0:
-            self.store.add(
-                idx, color_dev, depth_dev,
+            self.store.add_from_slot(
+                idx, self.scratch_slot,
                 self._est_dev[idx], jnp.asarray(gt_c2w),
                 has_depthless=cur_has_depthless)
 
@@ -300,10 +323,12 @@ class SLAMSystem:
         # Post-mapping bookkeeping at the reference's frequencies
         # (src/Mapper.py:437-457).  In-loop visualization is emitted once
         # per mapped frame (the per-iteration hook does not exist inside a
-        # jitted scan).
-        if not (idx == 0 and self.no_vis_on_first_frame):
+        # jitted scan); imagery is only fetched when the freq gate passes.
+        if (idx % self.map_vis.freq == 0
+                and not (idx == 0 and self.no_vis_on_first_frame)):
             self.map_vis.save_imgs(
-                idx, 0, np.asarray(depth_dev), np.asarray(color_dev),
+                idx, 0, self.store.depths[self.scratch_slot],
+                self.store.colors[self.scratch_slot],
                 self._est_dev[idx], self.map_state, self._next_key())
         if ((not (idx == 0 and self.no_log_on_first_frame))
                 and idx % self.ckpt_freq == 0) or idx == self.n_img - 1:
@@ -333,18 +358,23 @@ class SLAMSystem:
         return cull_mesh(path, self.cfg, frames,
                          estimate_c2w_list=est_np[:upto])
 
-    def _track_frame(self, idx: int, color_dev, depth_dev) -> dict:
+    def _track_frame(self, idx: int, pkt) -> dict:
         t0 = time.time()
         pose_init = self._pose_init(
             self._est_dev, jnp.int32(idx), self.const_speed and idx >= 2)
 
         best_pose, losses = self.tracker(
-            self.map_state, pose_init, color_dev, depth_dev, self._next_key())
+            self.map_state, pose_init,
+            jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
+            jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth),
+            self._next_key())
         c2w = cam_pose_to_matrix(best_pose[None])[0]
         self._est_dev = self._est_dev.at[idx].set(c2w)
-        if idx % self.track_vis.freq == 0:
+        if idx % self.track_vis.freq == 0 and pkt.color_u8 is not None:
             self.track_vis.save_imgs(
-                idx, 0, np.asarray(depth_dev), np.asarray(color_dev),
+                idx, 0,
+                pkt.depth_u16.astype(np.float32) * pkt.depth_inv_q,
+                pkt.color_u8.astype(np.float32) / 255.0,
                 c2w, self.map_state, self._next_key())
         dt = time.time() - t0
         return {
@@ -368,13 +398,28 @@ class SLAMSystem:
             print(f"Resumed from {path} at frame {start}")
         return start
 
+    def _needs_full(self, idx: int) -> bool:
+        """Frames whose full imagery must reach the device: mapped frames
+        (keyframe store + mapping rays) and visualization frames."""
+        return (idx % self.every_frame == 0 or idx == self.n_img - 1
+                or idx % self.track_vis.freq == 0
+                or idx % self.map_vis.freq == 0)
+
+    def _make_packet(self, dataset, idx: int):
+        t = self.cfg["tracking"]
+        return build_packet(
+            dataset, idx,
+            iters=int(t["iters"]), n_px=int(t["pixels"]),
+            ie_h=int(t["ignore_edge_H"]), ie_w=int(t["ignore_edge_W"]),
+            need_full=self._needs_full(idx), seed=self.seed)
+
     def run(self, start_idx: int = 0) -> None:
-        prefetch = Prefetcher(self.dataset, range(start_idx, self.n_img))
+        prefetch = PacketPrefetcher(
+            self.dataset, range(start_idx, self.n_img), self._make_packet)
         t_start = time.time()
-        for idx, (color, depth, gt_c2w) in prefetch:
+        for idx, pkt in prefetch:
             t_frame = time.time()
-            color_dev = jnp.asarray(color)
-            depth_dev = jnp.asarray(depth)
+            gt_c2w = pkt.gt_c2w
             self.gt_poses[idx] = gt_c2w
             rec = {"frame": idx}
 
@@ -382,12 +427,16 @@ class SLAMSystem:
                 self._est_dev = self._est_dev.at[idx].set(
                     jnp.asarray(gt_c2w))
             else:
-                rec.update(self._track_frame(idx, color_dev, depth_dev))
+                rec.update(self._track_frame(idx, pkt))
 
             if idx % self.every_frame == 0 or idx == self.n_img - 1:
+                # Stage the current frame into the scratch slot.
+                self.store.write_imagery_packed(
+                    self.scratch_slot, jnp.asarray(pkt.color_u8),
+                    jnp.asarray(pkt.depth_u16), pkt.depth_inv_q)
                 rec.update(self._map_frame(
-                    idx, color_dev, depth_dev, gt_c2w, first=(idx == 0),
-                    cur_has_depthless=bool((depth <= 0).any())))
+                    idx, gt_c2w, first=(idx == 0),
+                    cur_has_depthless=pkt.has_depthless))
                 if self.on_map_done is not None:
                     self.on_map_done(self, idx)
 

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from myslam_tpu.core.geometry import normalize_3d_coordinate, ray_aabb_exit_t
 from myslam_tpu.core.sampling import (
@@ -25,10 +26,22 @@ from myslam_tpu.core.sampling import (
     sample_pdf,
     uniform_z_vals,
 )
-from myslam_tpu.models.decoders import decode_rgb, decode_sdf
+from myslam_tpu.models.decoders import decode_rgb_corners, decode_sdf_corners
 from myslam_tpu.models.planes import MapState, PlaneLayout
 from myslam_tpu.ops.composite import composite, composite_weights, sdf2alpha
-from myslam_tpu.ops.plane_sample import pack_quad, sample_quad
+from myslam_tpu.ops.plane_sample import (
+    pack_quad,
+    reduced_row_map,
+    sample_quad_reduced,
+)
+
+_row_map_cache: dict = {}
+
+
+def _row_map(layout: PlaneLayout):
+    if layout not in _row_map_cache:
+        _row_map_cache[layout] = np.asarray(reduced_row_map(layout))
+    return _row_map_cache[layout]
 
 
 @dataclass(frozen=True)
@@ -62,8 +75,8 @@ def query_sdf(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray,
     """
     if sdf_quad is None:
         sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
-    feat = sample_quad(sdf_quad, scene.sdf_layout, p_nor)
-    return decode_sdf(ms.decoder, feat)
+    corners = sample_quad_reduced(sdf_quad, scene.sdf_layout, p_nor)
+    return decode_sdf_corners(ms.decoder, corners, _row_map(scene.sdf_layout))
 
 
 def query_rgb(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray,
@@ -71,8 +84,9 @@ def query_rgb(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray,
     """Raw RGB at normalized points (reference src/networks/decoders.py:107)."""
     if color_quad is None:
         color_quad = pack_quad(ms.color_atlas, scene.color_layout)
-    feat = sample_quad(color_quad, scene.color_layout, p_nor)
-    return decode_rgb(ms.decoder, feat)
+    corners = sample_quad_reduced(color_quad, scene.color_layout, p_nor)
+    return decode_rgb_corners(
+        ms.decoder, corners, _row_map(scene.color_layout))
 
 
 def query_raw(ms: MapState, scene: SceneGeometry, pts: jnp.ndarray,

@@ -41,23 +41,26 @@ def main():
     cfg["data"]["n_frames"] = 9
     slam = SLAMSystem(cfg, output="/tmp/profile_steps", seed=0)
 
-    color, depth, gt_c2w = slam.dataset.get_frame(0)
-    color = jnp.asarray(color)
-    depth = jnp.asarray(depth)
+    pkt = slam._make_packet(slam.dataset, 0)
+    gt_c2w = pkt.gt_c2w
+    color = jnp.asarray(pkt.color_u8)
+    depth = jnp.asarray(pkt.depth_u16).astype(jnp.float32) * pkt.depth_inv_q
     slam._est_dev = slam._est_dev.at[0].set(jnp.asarray(gt_c2w))
     slam.gt_poses[0] = gt_c2w
+    targs = (jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
+             jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth))
 
     # --- tracking step ---
     from myslam_tpu.core.quaternion import matrix_to_cam_pose
 
     pose0 = matrix_to_cam_pose(jnp.asarray(gt_c2w)[None])[0]
     key = jax.random.PRNGKey(0)
-    best, losses = slam.tracker(slam.map_state, pose0, color, depth, key)
+    best, losses = slam.tracker(slam.map_state, pose0, *targs, key)
     fetch(losses)
     t0 = time.time()
     for k in range(args.iters):
         best, losses = slam.tracker(
-            slam.map_state, pose0, color, depth, jax.random.fold_in(key, k))
+            slam.map_state, pose0, *targs, jax.random.fold_in(key, k))
     fetch(losses)
     t_iters = int(cfg["tracking"]["iters"])
     dt = (time.time() - t0) / args.iters
@@ -66,10 +69,12 @@ def main():
           f"({dt*1e3/t_iters:6.2f} ms/iter)")
 
     # --- mapping step (normal schedule) ---
-    slam.store.write_imagery(slam.scratch_slot, color, depth)
+    slam.store.write_imagery_packed(
+        slam.scratch_slot, color, jnp.asarray(pkt.depth_u16),
+        pkt.depth_inv_q)
     for s in range(3):
-        slam.store.add(s * 4, color, depth, jnp.asarray(gt_c2w),
-                       jnp.asarray(gt_c2w))
+        slam.store.add_from_slot(s * 4, slam.scratch_slot,
+                                 jnp.asarray(gt_c2w), jnp.asarray(gt_c2w))
     w_max = slam.w_max
     poses_pad = np.zeros((w_max, 7), np.float32)
     poses_pad[:, 0] = 1.0

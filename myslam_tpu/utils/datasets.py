@@ -351,6 +351,105 @@ def render_analytic(c2w, H, W, fx, fy, cx, cy, room, spheres):
     return color, t_hit
 
 
+class FramePacket:
+    """Compact per-frame upload unit.
+
+    The remote-device link is the scarcest resource in the loop (measured
+    ~30 MB/s H2D through the TPU tunnel vs 13 MB for one raw float frame),
+    so the host ships only what the device consumes:
+
+      * tracking pixels — the tracker optimizes over ``iters`` fresh
+        batches of ``n_px`` random pixels (reference src/Tracker.py:299);
+        those are drawn host-side and shipped as (iters, n_px) arrays
+        (~0.2 MB) instead of the full frame;
+      * full imagery (color uint8, depth uint16 + dequant scale) only for
+        frames that enter the keyframe store / mapping / visualization.
+
+    Color uint8 and depth uint16 are lossless for the real datasets (the
+    reference itself loads 8-bit jpg/png color and 16-bit png depth,
+    src/utils/datasets.py:79-96); synthetic float depth is quantized to
+    <0.1 mm by a per-frame scale.
+    """
+
+    __slots__ = ("idx", "gt_c2w", "px_i", "px_j", "px_color", "px_depth",
+                 "color_u8", "depth_u16", "depth_inv_q", "has_depthless")
+
+    def __init__(self, idx, gt_c2w, px_i, px_j, px_color, px_depth,
+                 color_u8=None, depth_u16=None, depth_inv_q=0.0,
+                 has_depthless=True):
+        self.idx = idx
+        self.gt_c2w = gt_c2w
+        self.px_i = px_i
+        self.px_j = px_j
+        self.px_color = px_color
+        self.px_depth = px_depth
+        self.color_u8 = color_u8
+        self.depth_u16 = depth_u16
+        self.depth_inv_q = depth_inv_q
+        self.has_depthless = has_depthless
+
+
+def build_packet(dataset, idx: int, *, iters: int, n_px: int,
+                 ie_h: int, ie_w: int, need_full: bool,
+                 seed: int = 0) -> FramePacket:
+    """Load frame ``idx`` and encode it as a FramePacket.
+
+    Pixel sampling reproduces the reference's per-iteration fresh uniform
+    draws over the edge-trimmed image (src/common.py:101-139,
+    src/Tracker.py:169) with a per-frame-seeded host RNG.
+    """
+    color, depth, c2w = dataset.get_frame(idx)
+    H, W = depth.shape
+    rng = np.random.default_rng((seed + 1) * 1_000_003 + idx)
+    j = rng.integers(ie_h, H - ie_h, size=(iters, n_px)).astype(np.uint16)
+    i = rng.integers(ie_w, W - ie_w, size=(iters, n_px)).astype(np.uint16)
+    px_color = np.clip(np.rint(color[j, i] * 255.0), 0, 255).astype(np.uint8)
+    px_depth = depth[j, i].astype(np.float32)
+
+    color_u8 = depth_u16 = None
+    inv_q = 0.0
+    if need_full:
+        color_u8 = np.clip(np.rint(color * 255.0), 0, 255).astype(np.uint8)
+        q = 60000.0 / max(float(depth.max()), 1e-3)
+        # valid (>0) depths never quantize to 0 (0 encodes "no depth")
+        depth_u16 = np.where(
+            depth > 0, np.maximum(np.rint(depth * q), 1.0), 0.0
+        ).astype(np.uint16)
+        inv_q = 1.0 / q
+    return FramePacket(
+        idx, c2w, i, j, px_color, px_depth, color_u8, depth_u16,
+        inv_q, bool((depth <= 0).any()))
+
+
+class PacketPrefetcher:
+    """Background thread building FramePackets ahead of the SLAM loop."""
+
+    def __init__(self, dataset, indices, make_packet, depth: int = 4):
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.indices = list(indices)
+        self.dataset = dataset
+        self.make_packet = make_packet
+        self.thread = threading.Thread(target=self._work, daemon=True)
+        self.thread.start()
+
+    def _work(self):
+        try:
+            for idx in self.indices:
+                self.q.put((idx, self.make_packet(self.dataset, idx)))
+            self.q.put(None)
+        except Exception as e:  # surface loader errors to the consumer
+            self.q.put(e)
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
 class Prefetcher:
     """Background-thread frame loader (replaces torch DataLoader workers)."""
 

@@ -128,6 +128,44 @@ def test_corner_folding_matches_reduced_path():
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
 
 
+def test_reduced_corner_path_matches():
+    """decode_corners(sample_quad_reduced, reduced_row_map) equals the
+    plain sample_quad + decode path (orientation sum pre-folded)."""
+    from myslam_tpu.models.decoders import (
+        decode_rgb,
+        decode_rgb_corners,
+        decode_sdf,
+        decode_sdf_corners,
+        init_decoder_params,
+    )
+    from myslam_tpu.ops.plane_sample import (
+        pack_quad,
+        reduced_row_map,
+        sample_quad,
+        sample_quad_reduced,
+    )
+
+    layout = make_layout(jnp.asarray(BOUND), [0.24, 0.06], C_DIM)
+    atlas, _ = make_atlas_and_planes(layout, 9)
+    rng = np.random.default_rng(10)
+    p_nor = rng.uniform(-1.1, 1.1, size=(256, 3)).astype(np.float32)
+    quad = pack_quad(jnp.asarray(atlas), layout)
+
+    params = init_decoder_params(jax.random.PRNGKey(0), c_dim=C_DIM)
+    feat = sample_quad(quad, layout, jnp.asarray(p_nor))
+    reduced = sample_quad_reduced(quad, layout, jnp.asarray(p_nor))
+    row_map = jnp.asarray(reduced_row_map(layout))
+
+    np.testing.assert_allclose(
+        np.asarray(decode_sdf(params, feat)),
+        np.asarray(decode_sdf_corners(params, reduced, row_map)),
+        atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(decode_rgb(params, feat)),
+        np.asarray(decode_rgb_corners(params, reduced, row_map)),
+        atol=2e-5, rtol=1e-4)
+
+
 def test_coordinate_gradient_matches_grid_sample():
     layout = make_layout(jnp.asarray(BOUND), [0.24], C_DIM)
     atlas, planes = make_atlas_and_planes(layout, 4)
