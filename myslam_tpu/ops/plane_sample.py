@@ -31,6 +31,9 @@ of the same formulation.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -198,6 +201,126 @@ def sample_quad(
     weighted = sample_quad_corners(quad, layout, p_nor)
     reduce_m = _reduce_matrix(layout, quad.dtype)
     return jnp.dot(weighted, reduce_m, preferred_element_type=jnp.float32)
+
+
+def _plane_consts(layout: PlaneLayout):
+    """Per-plane (u-axis, v-axis, W, H, offset) as numpy constants."""
+    au, av, W, H, off = [], [], [], [], []
+    for lvl in range(layout.n_levels):
+        for ori, (u, v) in enumerate(ORIENTATIONS):
+            h, w = layout.shapes[lvl][ori]
+            au.append(u)
+            av.append(v)
+            W.append(w)
+            H.append(h)
+            off.append(layout.offsets[lvl][ori])
+    f32 = np.float32
+    return (np.array(au), np.array(av), np.array(W, f32), np.array(H, f32),
+            np.array(off, np.int32))
+
+
+def _fracs_and_idx(p_nor: jnp.ndarray, layout: PlaneLayout):
+    """Cell row indices plus (wx, wy) bilinear fractions and the in-range
+    masks for the coordinate gradient, vectorized over all P planes."""
+    AU, AV, W, H, OFF = _plane_consts(layout)
+    u = p_nor[:, AU]  # (N, P)
+    v = p_nor[:, AV]
+    xr = (u + 1.0) * 0.5 * (W - 1.0)
+    yr = (v + 1.0) * 0.5 * (H - 1.0)
+    x = jnp.clip(xr, 0.0, W - 1.0)
+    y = jnp.clip(yr, 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    idx = OFF + (y0 * W + x0).astype(jnp.int32)
+    in_x = (xr >= 0.0) & (xr <= W - 1.0)
+    in_y = (yr >= 0.0) & (yr <= H - 1.0)
+    return idx, x - x0, y - y0, in_x, in_y
+
+
+def _lane_signs(layout: PlaneLayout):
+    C = layout.c_dim
+    C4 = 4 * C
+    lane = np.arange(C4)
+    sx = np.where((lane // C) % 2 == 1, 1.0, -1.0).astype(np.float32)
+    sy = np.where(lane >= C4 // 2, 1.0, -1.0).astype(np.float32)
+    return sx, sy
+
+
+def _lane_w(wx, wy, sx, sy):
+    """(N,P,1) fractions -> (N,P,4C) corner weights in lane layout."""
+    return (0.5 + (wx - 0.5) * sx) * (0.5 + (wy - 0.5) * sy)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def sample_fused(quad: jnp.ndarray, layout: PlaneLayout,
+                 p_nor: jnp.ndarray) -> jnp.ndarray:
+    """sample_quad_reduced with a hand-written VJP.
+
+    Forward math is identical to sample_quad_reduced; the backward avoids
+    autodiff's materialized broadcast/reshape chain (2 extra full-size
+    HBM round-trips per atlas, measured ~6 ms/iter at the mapping
+    operating point) by feeding the scatter update expression directly
+    and computing the coordinate gradient from saved fractions.
+    """
+    return sample_quad_reduced(quad, layout, p_nor)
+
+
+def _sample_fused_fwd(quad, layout, p_nor):
+    n = p_nor.shape[0]
+    L = layout.n_levels
+    C4 = quad.shape[-1]
+    sx, sy = _lane_signs(layout)
+    idx, wx, wy, in_x, in_y = _fracs_and_idx(p_nor, layout)
+    g = jnp.take(quad, idx.reshape(-1), axis=0).reshape(n, L * 3, C4)
+    w = _lane_w(wx[..., None], wy[..., None], sx, sy)
+    red = jnp.sum(
+        (g.astype(w.dtype) * w).reshape(n, L, 3, C4), axis=2
+    ).reshape(n, L * C4)
+    return red, (g, idx, wx, wy, in_x, in_y)
+
+
+def _sample_fused_bwd(layout, res, gbar):
+    g, idx, wx, wy, in_x, in_y = res
+    n, P = idx.shape
+    L = layout.n_levels
+    C4 = g.shape[-1]
+    sx, sy = _lane_signs(layout)
+    AU, AV, W, H, _ = _plane_consts(layout)
+
+    # (N, L*C4) -> per-plane upstream (broadcast over the 3 orientations,
+    # expressed as a gather-free reshape+multiply so XLA fuses it into the
+    # scatter updates / reductions instead of materializing it).
+    gb = gbar.reshape(n, L, 1, C4)
+
+    wxl = wx[..., None]  # (N, P, 1)
+    wyl = wy[..., None]
+    w = _lane_w(wxl, wyl, sx, sy).reshape(n, L, 3, C4)
+
+    upd = (gb * w).reshape(n * P, C4)
+    quad_grad = jnp.zeros(
+        (layout.total_rows, C4), g.dtype
+    ).at[idx.reshape(-1)].add(upd.astype(g.dtype))
+
+    # Coordinate gradient: dL/dwx = sum_lanes g*gb * sx*(0.5+(wy-0.5)sy).
+    ggb = g.reshape(n, L, 3, C4).astype(jnp.float32) * gb
+    dwx = jnp.sum(ggb * (sx * (0.5 + (wyl - 0.5) * sy)).reshape(
+        n, L, 3, C4), axis=-1).reshape(n, P)
+    dwy = jnp.sum(ggb * (sy * (0.5 + (wxl - 0.5) * sx)).reshape(
+        n, L, 3, C4), axis=-1).reshape(n, P)
+    du = dwx * in_x * (0.5 * (W - 1.0))
+    dv = dwy * in_y * (0.5 * (H - 1.0))
+    # AU/AV are compile-time constants: the (N,3) point gradient is a sum
+    # of statically selected plane columns per axis — pure fused adds.
+    cols = []
+    for axis in range(3):
+        terms = [du[:, p] for p in range(P) if AU[p] == axis]
+        terms += [dv[:, p] for p in range(P) if AV[p] == axis]
+        cols.append(sum(terms) if terms else jnp.zeros((n,), jnp.float32))
+    p_grad = jnp.stack(cols, axis=-1)
+    return quad_grad, p_grad
+
+
+sample_fused.defvjp(_sample_fused_fwd, _sample_fused_bwd)
 
 
 def sample_atlas(

@@ -32,7 +32,7 @@ from myslam_tpu.ops.composite import composite, composite_weights, sdf2alpha
 from myslam_tpu.ops.plane_sample import (
     pack_quad,
     reduced_row_map,
-    sample_quad_reduced,
+    sample_fused,
 )
 
 _row_map_cache: dict = {}
@@ -75,7 +75,7 @@ def query_sdf(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray,
     """
     if sdf_quad is None:
         sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
-    corners = sample_quad_reduced(sdf_quad, scene.sdf_layout, p_nor)
+    corners = sample_fused(sdf_quad, scene.sdf_layout, p_nor)
     return decode_sdf_corners(ms.decoder, corners, _row_map(scene.sdf_layout))
 
 
@@ -84,7 +84,7 @@ def query_rgb(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray,
     """Raw RGB at normalized points (reference src/networks/decoders.py:107)."""
     if color_quad is None:
         color_quad = pack_quad(ms.color_atlas, scene.color_layout)
-    corners = sample_quad_reduced(color_quad, scene.color_layout, p_nor)
+    corners = sample_fused(color_quad, scene.color_layout, p_nor)
     return decode_rgb_corners(
         ms.decoder, corners, _row_map(scene.color_layout))
 

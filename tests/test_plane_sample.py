@@ -166,6 +166,39 @@ def test_reduced_corner_path_matches():
         atol=2e-5, rtol=1e-4)
 
 
+def test_sample_fused_matches_autodiff():
+    """sample_fused's hand-written VJP == autodiff of sample_quad_reduced
+    (values, atlas gradient, and coordinate gradient)."""
+    from myslam_tpu.ops.plane_sample import (
+        pack_quad,
+        sample_fused,
+        sample_quad_reduced,
+    )
+
+    layout = make_layout(jnp.asarray(BOUND), [0.24, 0.06], C_DIM)
+    atlas, _ = make_atlas_and_planes(layout, 13)
+    rng = np.random.default_rng(14)
+    # include out-of-range points (clip-gradient path) and exact cell
+    # corners (floor boundary)
+    p_nor = rng.uniform(-1.2, 1.2, size=(300, 3)).astype(np.float32)
+    quad = pack_quad(jnp.asarray(atlas), layout)
+    gbar = rng.normal(size=(300, layout.n_levels * 4 * C_DIM)).astype(
+        np.float32)
+
+    def run(f):
+        def loss(q, p):
+            return jnp.sum(f(q, layout, p) * jnp.asarray(gbar))
+        v = f(quad, layout, jnp.asarray(p_nor))
+        gq, gp = jax.grad(loss, argnums=(0, 1))(quad, jnp.asarray(p_nor))
+        return np.asarray(v), np.asarray(gq), np.asarray(gp)
+
+    v0, gq0, gp0 = run(sample_quad_reduced)
+    v1, gq1, gp1 = run(sample_fused)
+    np.testing.assert_allclose(v1, v0, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(gq1, gq0, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(gp1, gp0, atol=1e-4, rtol=1e-4)
+
+
 def test_coordinate_gradient_matches_grid_sample():
     layout = make_layout(jnp.asarray(BOUND), [0.24], C_DIM)
     atlas, planes = make_atlas_and_planes(layout, 4)
