@@ -132,6 +132,9 @@ def _extract_slab(vol_slab, x0, level: float, max_tris: int):
     return tris, valid, n_active
 
 
+_extract_slab_jit = jax.jit(_extract_slab, static_argnames=("max_tris",))
+
+
 def extract_isosurface(
     volume,
     origin,
@@ -151,7 +154,7 @@ def extract_isosurface(
     per_x = max((ny - 1) * (nz - 1), 1)
     sx = max(min(slab_cells // per_x, nx - 1), 1)
 
-    slab_fn = jax.jit(_extract_slab, static_argnames=("max_tris",))
+    slab_fn = _extract_slab_jit
 
     all_tris = []
     x0 = 0

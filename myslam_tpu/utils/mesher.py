@@ -19,6 +19,8 @@ Re-design of the reference Mesher (src/utils/Mesher.py):
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,35 +32,58 @@ from myslam_tpu.render.renderer import SceneGeometry, query_raw
 from myslam_tpu.utils.ply import write_ply
 
 
-def backproject_keyframes(store, cam, stride: int = 8) -> np.ndarray:
-    """Point cloud of keyframe depths (subsampled) + camera centers."""
-    pts = []
-    for slot in range(store.count):
-        c2w = store.est_c2w[slot]
-        depth = store.depths[slot, ::stride, ::stride]
-        rays_o, rays_d = rays_full_image(
-            cam.H, cam.W, cam.fx, cam.fy, cam.cx, cam.cy, c2w)
+@partial(jax.jit, static_argnames=("H", "W", "stride"))
+def _backproject_all(c2ws, depths, fx, fy, cx, cy, H, W, stride):
+    """(cap, h, w, 3) back-projected points + (cap, h, w) depths for all
+    store slots in one device program (fixed shapes for any count)."""
+    def one(c2w, depth):
+        rays_o, rays_d = rays_full_image(H, W, fx, fy, cx, cy, c2w)
         rays_o = rays_o[::stride, ::stride]
         rays_d = rays_d[::stride, ::stride]
-        p = rays_o + rays_d * depth[..., None]
-        valid = np.asarray(depth) > 0
-        pts.append(np.asarray(p)[valid])
-        pts.append(np.asarray(c2w[:3, 3])[None])
-    return np.concatenate(pts, axis=0)
+        d = depth[::stride, ::stride]
+        return rays_o + rays_d * d[..., None], d
+
+    return jax.vmap(one)(c2ws, depths)
+
+
+def backproject_keyframes(store, cam, stride: int = 8) -> np.ndarray:
+    """Point cloud of keyframe depths (subsampled) + camera centers.
+
+    One jitted program + one fetch for the whole store (per-slot host
+    round-trips cost ~30 ms each through the remote-device link)."""
+    pts_all, d_all = _backproject_all(
+        store.est_c2w, store.depths, cam.fx, cam.fy, cam.cx, cam.cy,
+        cam.H, cam.W, stride)
+    pts_np = np.asarray(pts_all)[:store.count]
+    d_np = np.asarray(d_all)[:store.count]
+    cams = np.asarray(store.est_c2w)[:store.count, :3, 3]
+    return np.concatenate([pts_np[d_np > 0], cams], axis=0)
 
 
 class HullBound:
-    """Convex hull of observed space with device-side containment test."""
+    """Convex hull of observed space with device-side containment test.
 
-    def __init__(self, points: np.ndarray, scale: float = 1.02):
+    The half-space set is padded to a fixed capacity (repeating the last
+    plane) so every containment test compiles to one stable shape no
+    matter how complex the hull is.
+    """
+
+    def __init__(self, points: np.ndarray, scale: float = 1.02,
+                 capacity: int = 256):
         hull = ConvexHull(points)
         verts = points[hull.vertices]
         center = verts.mean(axis=0)
         scaled = center + (verts - center) * scale
         hull2 = ConvexHull(scaled)
         # half-spaces A @ x + b <= 0
-        self.A = jnp.asarray(hull2.equations[:, :3], jnp.float32)
-        self.b = jnp.asarray(hull2.equations[:, 3], jnp.float32)
+        A = hull2.equations[:, :3].astype(np.float32)
+        b = hull2.equations[:, 3].astype(np.float32)
+        if len(A) > capacity:  # extremely complex hull: keep every k-th
+            keep = np.linspace(0, len(A) - 1, capacity).astype(int)
+            A, b = A[keep], b[keep]
+        pad = capacity - len(A)
+        self.A = jnp.asarray(np.concatenate([A, np.repeat(A[-1:], pad, 0)]))
+        self.b = jnp.asarray(np.concatenate([b, np.repeat(b[-1:], pad, 0)]))
 
     def contains(self, pts: jnp.ndarray, tol: float = 1e-6) -> jnp.ndarray:
         """(N, 3) -> (N,) bool."""
@@ -85,6 +110,23 @@ class Mesher:
         self._query = jax.jit(
             lambda ms, pts: query_raw(ms, self.scene, pts))
 
+        bound = self.scene.bound_array
+
+        @partial(jax.jit, static_argnames=("use_hull",))
+        def _slab_sdf(ms, xs_slab, ys_d, zs_d, A, b, use_hull):
+            g = jnp.stack(jnp.meshgrid(xs_slab, ys_d, zs_d, indexing="ij"),
+                          axis=-1).reshape(-1, 3)
+            raw = query_raw(ms, self.scene, g)
+            sdf = raw[:, -1]
+            inb = jnp.all((g > bound[:, 0]) & (g < bound[:, 1]), axis=-1)
+            if use_hull:
+                side = g @ A.T + b[None, :]
+                inb = inb & jnp.all(side <= 1e-6, axis=-1)
+            return jnp.where(inb, sdf, -1.0).reshape(
+                xs_slab.shape[0], ys_d.shape[0], zs_d.shape[0])
+
+        self._slab_sdf = _slab_sdf
+
     def grid_axes(self):
         """Reference get_grid_uniform axes (Mesher.py:159-186): linspace
         over the marching-cubes bound padded by 5 cm."""
@@ -105,32 +147,39 @@ class Mesher:
         bound = self.scene.bound_array
         xs_d, ys_d, zs_d = map(jnp.asarray, (xs, ys, zs))
 
-        # chunk over x-slabs of the grid
+        # chunk over x-slabs of the grid (padded to one fixed slab height
+        # so the query program compiles exactly once per grid shape)
         vol = np.empty((nx, ny, nz), np.float32)
         rows_per_slab = max(self.points_batch_size // (ny * nz), 1)
-
-        @jax.jit
-        def slab_sdf(ms, xs_slab):
-            g = jnp.stack(jnp.meshgrid(xs_slab, ys_d, zs_d, indexing="ij"),
-                          axis=-1).reshape(-1, 3)
-            raw = query_raw(ms, self.scene, g)
-            sdf = raw[:, -1]
-            inb = jnp.all((g > bound[:, 0]) & (g < bound[:, 1]), axis=-1)
-            keep = inb if hull is None else inb & hull.contains(g)
-            return jnp.where(keep, sdf, -1.0).reshape(
-                xs_slab.shape[0], ny, nz)
+        if hull is None:
+            A = jnp.zeros((1, 3), jnp.float32)
+            b = jnp.zeros((1,), jnp.float32)
+        else:
+            A, b = hull.A, hull.b
 
         for x0 in range(0, nx, rows_per_slab):
             xs_slab = xs_d[x0:x0 + rows_per_slab]
-            vol[x0:x0 + xs_slab.shape[0]] = np.asarray(slab_sdf(ms, xs_slab))
+            n_rows = xs_slab.shape[0]
+            if n_rows < rows_per_slab:  # pad the last slab
+                xs_slab = jnp.concatenate(
+                    [xs_slab,
+                     jnp.full((rows_per_slab - n_rows,), xs_slab[-1])])
+            out = self._slab_sdf(ms, xs_slab, ys_d, zs_d, A, b,
+                                 use_hull=hull is not None)
+            vol[x0:x0 + n_rows] = np.asarray(out[:n_rows])
         return vol, (xs, ys, zs)
 
     def vertex_colors(self, ms, vertices: np.ndarray) -> np.ndarray:
         out = np.empty((len(vertices), 3), np.float32)
-        B = self.points_batch_size
+        B = min(self.points_batch_size, 1 << 20)
         for i in range(0, len(vertices), B):
-            raw = self._query(ms, jnp.asarray(vertices[i:i + B]))
-            out[i:i + B] = np.asarray(raw[:, :3])
+            chunk = vertices[i:i + B]
+            n = len(chunk)
+            if n < B:  # pad so the query compiles for one shape
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
+            raw = self._query(ms, jnp.asarray(chunk))
+            out[i:i + n] = np.asarray(raw[:n, :3])
         return out
 
     def get_mesh(self, out_file: str, ms, store, color: bool = True) -> str:
