@@ -125,7 +125,19 @@ class SLAMSystem:
         self.scratch_slot = self.store.capacity - 1
         self.w_max = self.window_size + 2  # selected + last two + current
 
-        self.tracker = make_tracker(cfg, self.scene, self.cam)
+        # Multi-device ray data-parallelism (SURVEY §5.8): pixel batches
+        # sharded over a device mesh, map/pose grads psum'd over ICI.
+        n_dev_cfg = int(cfg.get("parallel", {}).get("devices", 1))
+        n_dev = len(jax.devices()) if n_dev_cfg == 0 else n_dev_cfg
+        self.ray_sharding = None
+        self.mesh = None
+        if n_dev > 1:
+            from myslam_tpu.parallel.mesh import make_mesh, ray_dp_sharding
+            self.mesh = make_mesh(n_dev)
+            self.ray_sharding = ray_dp_sharding(self.mesh)
+
+        self.tracker = make_tracker(cfg, self.scene, self.cam,
+                                    ray_sharding=self.ray_sharding)
         # Mapper variants: (first-frame?, importance-branch?).  The
         # importance-free variants are used whenever no frame in the BA
         # window has depth holes (jit compiles each lazily on first use).
@@ -137,7 +149,7 @@ class SLAMSystem:
                     iters=int(m["iters_first"] if first else m["iters"]),
                     lr_factor=float(
                         m["lr_first_factor"] if first else m["lr_factor"]),
-                    importance=imp)
+                    importance=imp, ray_sharding=self.ray_sharding)
         self.scorer = make_overlap_scorer(self.cam)
 
         w_max = self.w_max

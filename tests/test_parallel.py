@@ -1,0 +1,69 @@
+"""Multi-device ray data-parallelism: parity with the single-device path.
+
+Runs on the 8-way virtual CPU mesh from conftest.  The sharded programs
+must produce the same optimization trajectory as the unsharded ones up to
+reduction-order float noise (psum over shards reorders the gradient sums).
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+
+
+def _smoke_cfg(n_devices: int):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(repo, "configs", "Synthetic", "room_smoke.yaml"),
+        os.path.join(repo, "configs", "myslam.yaml"))
+    cfg["data"]["n_frames"] = 6
+    cfg["mapping"]["iters_first"] = 20
+    cfg["mapping"]["iters"] = 5
+    cfg["parallel"]["devices"] = n_devices
+    return cfg
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_matches_single_device(tmp_path):
+    from myslam_tpu.engine.scheduler import SLAMSystem
+
+    est = {}
+    for n_dev in (1, 8):
+        slam = SLAMSystem(_smoke_cfg(n_dev),
+                          output=str(tmp_path / f"dp{n_dev}"), seed=0)
+        slam.run()
+        est[n_dev] = slam.estimates.copy()
+
+    # same pixel draws (host RNG) -> same math up to psum reduction order
+    t_err = np.linalg.norm(
+        est[1][:, :3, 3] - est[8][:, :3, 3], axis=-1)
+    assert np.all(np.isfinite(est[8]))
+    assert t_err.max() < 5e-3, t_err
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tracker_shards_over_mesh():
+    """The sharded tracker compiles, runs, and psums to a replicated pose."""
+    from myslam_tpu.engine.camera import Camera
+    from myslam_tpu.engine.scheduler import SLAMSystem, compute_bound
+    from myslam_tpu.utils.datasets import build_packet
+    from myslam_tpu.core.quaternion import matrix_to_cam_pose
+
+    cfg = _smoke_cfg(8)
+    slam = SLAMSystem(cfg, output="/tmp/test_dp_tracker", seed=0)
+    pkt = build_packet(slam.dataset, 1, iters=int(cfg["tracking"]["iters"]),
+                       n_px=int(cfg["tracking"]["pixels"]),
+                       ie_h=10, ie_w=10, need_full=False, seed=0)
+    pose0 = matrix_to_cam_pose(jnp.asarray(pkt.gt_c2w)[None])[0]
+    best, losses = slam.tracker(
+        slam.map_state, pose0, jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
+        jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth),
+        jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(losses)).all()
+    assert best.shape == (7,)
