@@ -398,27 +398,29 @@ def build_packet(dataset, idx: int, *, iters: int, n_px: int,
     draws over the edge-trimmed image (src/common.py:101-139,
     src/Tracker.py:169) with a per-frame-seeded host RNG.
     """
+    from myslam_tpu import native
+
     color, depth, c2w = dataset.get_frame(idx)
     H, W = depth.shape
     rng = np.random.default_rng((seed + 1) * 1_000_003 + idx)
     j = rng.integers(ie_h, H - ie_h, size=(iters, n_px)).astype(np.uint16)
     i = rng.integers(ie_w, W - ie_w, size=(iters, n_px)).astype(np.uint16)
-    px_color = np.clip(np.rint(color[j, i] * 255.0), 0, 255).astype(np.uint8)
-    px_depth = depth[j, i].astype(np.float32)
+    px_color, px_depth, has_depthless = native.gather_pixels(
+        color, depth, i, j)
+    px_color = px_color.reshape(iters, n_px, 3)
+    px_depth = px_depth.reshape(iters, n_px)
 
     color_u8 = depth_u16 = None
     inv_q = 0.0
     if need_full:
-        color_u8 = np.clip(np.rint(color * 255.0), 0, 255).astype(np.uint8)
-        q = 60000.0 / max(float(depth.max()), 1e-3)
+        color_u8 = native.encode_color_u8(color)
+        q = 60000.0 / max(native.depth_max(depth), 1e-3)
         # valid (>0) depths never quantize to 0 (0 encodes "no depth")
-        depth_u16 = np.where(
-            depth > 0, np.maximum(np.rint(depth * q), 1.0), 0.0
-        ).astype(np.uint16)
+        depth_u16 = native.quantize_depth_u16(depth, q)
         inv_q = 1.0 / q
     return FramePacket(
         idx, c2w, i, j, px_color, px_depth, color_u8, depth_u16,
-        inv_q, bool((depth <= 0).any()))
+        inv_q, has_depthless)
 
 
 class PacketPrefetcher:
