@@ -199,7 +199,7 @@ def make_sharded_sampler(mesh: Mesh, axis: str, slayout: ShardedPlaneLayout):
         shard_map, mesh=mesh,
         in_specs=(P(axis, None), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def sample(local_atlas, p_nor):
         d = jax.lax.axis_index(axis)
