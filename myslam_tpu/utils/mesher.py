@@ -26,20 +26,30 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.spatial import ConvexHull
 
-from myslam_tpu.core.geometry import rays_full_image
+from myslam_tpu.core.geometry import normalize_3d_coordinate
 from myslam_tpu.ops.marching import extract_isosurface
-from myslam_tpu.render.renderer import SceneGeometry, query_raw
+from myslam_tpu.render.renderer import SceneGeometry, query_raw, query_sdf
 from myslam_tpu.utils.ply import write_ply
 
 
 @partial(jax.jit, static_argnames=("H", "W", "stride"))
 def _backproject_all(c2ws, depths, fx, fy, cx, cy, H, W, stride):
     """(cap, h, w, 3) back-projected points + (cap, h, w) depths for all
-    store slots in one device program (fixed shapes for any count)."""
+    store slots in one device program (fixed shapes for any count).
+
+    Rays are generated directly on the strided pixel grid: materializing
+    full-resolution ray fields for every slot and then slicing faulted the
+    TPU runtime at store scale (32 x 680 x 1200 x 3 intermediates) and
+    wastes stride^2 of the work.
+    """
+    from myslam_tpu.core.geometry import rays_from_uv
+
+    j, i = jnp.meshgrid(
+        jnp.arange(0, H, stride, dtype=jnp.float32),
+        jnp.arange(0, W, stride, dtype=jnp.float32), indexing="ij")
+
     def one(c2w, depth):
-        rays_o, rays_d = rays_full_image(H, W, fx, fy, cx, cy, c2w)
-        rays_o = rays_o[::stride, ::stride]
-        rays_d = rays_d[::stride, ::stride]
+        rays_o, rays_d = rays_from_uv(i, j, c2w, fx, fy, cx, cy)
         d = depth[::stride, ::stride]
         return rays_o + rays_d * d[..., None], d
 
@@ -95,7 +105,7 @@ class Mesher:
     """Extract a colored triangle mesh from the map state."""
 
     def __init__(self, cfg: dict, scene: SceneGeometry, cam,
-                 points_batch_size: int = 2_000_000):
+                 points_batch_size: int = 500_000):
         self.scene = scene
         self.cam = cam
         self.resolution = float(cfg["meshing"]["resolution"])
@@ -107,8 +117,15 @@ class Mesher:
         self.points_batch_size = points_batch_size
         self.verbose = cfg.get("verbose", False)
 
-        self._query = jax.jit(
-            lambda ms, pts: query_raw(ms, self.scene, pts))
+        # Vertex colors only need the color decoder path.
+        from myslam_tpu.render.renderer import query_rgb
+
+        def _rgb(ms, pts):
+            p_nor = normalize_3d_coordinate(
+                pts.reshape(-1, 3), self.scene.bound_array)
+            return query_rgb(ms, self.scene, p_nor)
+
+        self._query_rgb = jax.jit(_rgb)
 
         bound = self.scene.bound_array
 
@@ -116,8 +133,12 @@ class Mesher:
         def _slab_sdf(ms, xs_slab, ys_d, zs_d, A, b, use_hull):
             g = jnp.stack(jnp.meshgrid(xs_slab, ys_d, zs_d, indexing="ij"),
                           axis=-1).reshape(-1, 3)
-            raw = query_raw(ms, self.scene, g)
-            sdf = raw[:, -1]
+            # SDF only: the volume pass must not touch the (4x larger)
+            # color atlas (reference Mesher.py:146 likewise queries
+            # color only at the final vertices).
+            p_nor = normalize_3d_coordinate(
+                g.reshape(-1, 3), self.scene.bound_array)
+            sdf = query_sdf(ms, self.scene, p_nor)
             inb = jnp.all((g > bound[:, 0]) & (g < bound[:, 1]), axis=-1)
             if use_hull:
                 side = g @ A.T + b[None, :]
@@ -178,8 +199,8 @@ class Mesher:
             if n < B:  # pad so the query compiles for one shape
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
-            raw = self._query(ms, jnp.asarray(chunk))
-            out[i:i + n] = np.asarray(raw[:n, :3])
+            rgb = self._query_rgb(ms, jnp.asarray(chunk))
+            out[i:i + n] = np.asarray(rgb[:n])
         return out
 
     def get_mesh(self, out_file: str, ms, store, color: bool = True) -> str:
