@@ -158,16 +158,25 @@ def extract_isosurface(
 
     all_tris = []
     x0 = 0
+    max_tris = max_tris_per_slab
     while x0 < nx - 1:
         cur_sx = min(sx, nx - 1 - x0)
-        slab = volume[x0:x0 + cur_sx + 1]
-        tris, valid, n_active = slab_fn(
-            slab, jnp.float32(x0), level, max_tris=max_tris_per_slab)
-        n = int(n_active)
-        if n > max_tris_per_slab:
-            raise RuntimeError(
-                f"isosurface slab overflow ({n} tets > {max_tris_per_slab}); "
-                "reduce slab_cells")
+        # Adaptive capacity: on overflow halve the slab extent (cheap — the
+        # smaller shape often already exists in the jit cache); at a single
+        # x-layer grow the tet capacity instead.  Each shrink sticks for the
+        # rest of the volume so dense surfaces pay the recompile once.
+        while True:
+            slab = volume[x0:x0 + cur_sx + 1]
+            tris, valid, n_active = slab_fn(
+                slab, jnp.float32(x0), level, max_tris=max_tris)
+            n = int(n_active)
+            if n <= max_tris:
+                break
+            if cur_sx > 1:
+                cur_sx = max(cur_sx // 2, 1)
+                sx = cur_sx
+            else:
+                max_tris *= 2
         v = np.asarray(valid)
         if v.any():
             all_tris.append(np.asarray(tris)[v])

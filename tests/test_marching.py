@@ -58,3 +58,15 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(v2, verts, atol=1e-6)
     np.testing.assert_array_equal(f2, faces)
     assert c2 is not None and c2.shape == (len(verts), 3)
+
+
+def test_overflow_adaptive_retry():
+    # Tiny tet capacity forces the adaptive slab-halving / capacity-growth
+    # path; the surface must match an un-constrained extraction exactly.
+    vol, xs = sphere_volume(n=40)
+    spacing = xs[1] - xs[0]
+    v1, f1 = extract_isosurface(vol, [-1, -1, -1], [spacing] * 3,
+                                max_tris_per_slab=256)
+    v2, f2 = extract_isosurface(vol, [-1, -1, -1], [spacing] * 3)
+    assert len(f1) == len(f2)
+    assert len(v1) == len(v2)
