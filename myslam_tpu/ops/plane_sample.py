@@ -149,22 +149,29 @@ def sample_quad_reduced(
 ) -> jnp.ndarray:
     """Weighted, orientation-summed corner features: (N, L*4C).
 
-    The preferred hot-path form: the orientation sum is an elementwise
-    reduction XLA fuses into the gather's consumer, so the tensor
-    materialized for the decoder's first matmul is 3x smaller than
-    sample_quad_corners' (N, P*4C) — measured ~2x faster end-to-end.
-    Consumers fold the remaining corner+level reduction into their first
-    matmul via reduced_row_map.
+    The preferred hot-path form.  Computed plane-by-plane so every array
+    in the program is a flat lane-aligned (N, 4C): a batched
+    (N, L, 3, 4C) formulation forces XLA into T(2,128)/T(4,128) tilings
+    whose reshape/broadcast relayouts cost more than the gathers
+    themselves (profiled ~9 ms/iter at the mapping operating point).
+    The orientation sum is a plain (N, 4C) add that fuses into the
+    gather's consumer.  Consumers fold the remaining corner+level
+    reduction into their first matmul via reduced_row_map.
     """
-    n = p_nor.shape[0]
-    L = layout.n_levels
-    C4 = quad.shape[-1]
-    idx, w = _cell_index_and_lane_weights(p_nor, layout)
-    g = jnp.take(quad, idx.reshape(-1), axis=0).reshape(n, L * 3, C4)
-    # Weighting in f32 regardless of atlas dtype: a bfloat16 quad halves
-    # the gather traffic while the interpolation weights stay exact.
-    g = g.astype(w.dtype) * w
-    return jnp.sum(g.reshape(n, L, 3, C4), axis=2).reshape(n, L * C4)
+    sx, sy = _lane_signs(layout)
+    reds = []
+    for lvl, ori, au, av, H, W, off in _plane_list(layout):
+        cell, wx, wy, _, _ = _plane_coords(p_nor, au, av, H, W)
+        g = jnp.take(quad, off + cell, axis=0)
+        # Weighting in f32 regardless of atlas dtype: a bfloat16 quad
+        # halves the gather traffic, weights stay exact.
+        w = _lane_w(wx[:, None], wy[:, None], sx, sy)
+        term = g.astype(w.dtype) * w
+        if ori == 0:
+            reds.append(term)
+        else:
+            reds[lvl] = reds[lvl] + term
+    return jnp.concatenate(reds, axis=-1)
 
 
 def _reduce_matrix(layout: PlaneLayout, dtype) -> jnp.ndarray:
@@ -203,38 +210,40 @@ def sample_quad(
     return jnp.dot(weighted, reduce_m, preferred_element_type=jnp.float32)
 
 
-def _plane_consts(layout: PlaneLayout):
-    """Per-plane (u-axis, v-axis, W, H, offset) as numpy constants."""
-    au, av, W, H, off = [], [], [], [], []
+# Planes with at most this many rows take the MXU one-hot path for their
+# gradient scatter (see _scatter_grad): below this size the dense
+# (N, rows) bf16 one-hot matmul beats XLA's row-serialized scatter-add
+# (measured on v5e: ~2.3 ms per 160k-row scatter vs ~0.6 ms one-hot for a
+# few-hundred-row coarse plane; break-even near ~2k rows).  Tests that
+# need bitwise scatter parity can set this to 0.
+ONEHOT_MAX_ROWS = 2048
+
+
+def _plane_list(layout: PlaneLayout):
+    """Static per-plane (lvl, ori, au, av, H, W, off) tuples, layout order."""
+    out = []
     for lvl in range(layout.n_levels):
-        for ori, (u, v) in enumerate(ORIENTATIONS):
-            h, w = layout.shapes[lvl][ori]
-            au.append(u)
-            av.append(v)
-            W.append(w)
-            H.append(h)
-            off.append(layout.offsets[lvl][ori])
-    f32 = np.float32
-    return (np.array(au), np.array(av), np.array(W, f32), np.array(H, f32),
-            np.array(off, np.int32))
+        for ori, (au, av) in enumerate(ORIENTATIONS):
+            H, W = layout.shapes[lvl][ori]
+            out.append((lvl, ori, au, av, H, W, layout.offsets[lvl][ori]))
+    return out
 
 
-def _fracs_and_idx(p_nor: jnp.ndarray, layout: PlaneLayout):
-    """Cell row indices plus (wx, wy) bilinear fractions and the in-range
-    masks for the coordinate gradient, vectorized over all P planes."""
-    AU, AV, W, H, OFF = _plane_consts(layout)
-    u = p_nor[:, AU]  # (N, P)
-    v = p_nor[:, AV]
+def _plane_coords(p_nor, au, av, H, W):
+    """Per-plane cell index + bilinear fractions + in-range masks, all flat
+    (N,) — grid_sample align_corners=True / border-padding semantics."""
+    u = p_nor[:, au]
+    v = p_nor[:, av]
     xr = (u + 1.0) * 0.5 * (W - 1.0)
     yr = (v + 1.0) * 0.5 * (H - 1.0)
     x = jnp.clip(xr, 0.0, W - 1.0)
     y = jnp.clip(yr, 0.0, H - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    idx = OFF + (y0 * W + x0).astype(jnp.int32)
-    in_x = (xr >= 0.0) & (xr <= W - 1.0)
-    in_y = (yr >= 0.0) & (yr <= H - 1.0)
-    return idx, x - x0, y - y0, in_x, in_y
+    cell = (y0 * W + x0).astype(jnp.int32)
+    in_x = ((xr >= 0.0) & (xr <= W - 1.0)).astype(jnp.float32)
+    in_y = ((yr >= 0.0) & (yr <= H - 1.0)).astype(jnp.float32)
+    return cell, x - x0, y - y0, in_x, in_y
 
 
 def _lane_signs(layout: PlaneLayout):
@@ -256,68 +265,79 @@ def sample_fused(quad: jnp.ndarray, layout: PlaneLayout,
                  p_nor: jnp.ndarray) -> jnp.ndarray:
     """sample_quad_reduced with a hand-written VJP.
 
-    Forward math is identical to sample_quad_reduced; the backward avoids
-    autodiff's materialized broadcast/reshape chain (2 extra full-size
-    HBM round-trips per atlas, measured ~6 ms/iter at the mapping
-    operating point) by feeding the scatter update expression directly
-    and computing the coordinate gradient from saved fractions.
+    Forward math is identical to sample_quad_reduced.  The backward is
+    written plane-by-plane in the same flat (N, 4C) discipline as the
+    forward — autodiff's (N, L, 3, 4C) broadcast/reshape chain cost more
+    in layout copies than the scatters themselves — and routes each
+    plane's atlas gradient either through XLA's scatter-add (large
+    planes) or through a dense one-hot MXU matmul (planes with
+    <= ONEHOT_MAX_ROWS rows, i.e. the coarse levels), which turns the
+    row-serialized scatter into two streaming passes + a matmul.
     """
     return sample_quad_reduced(quad, layout, p_nor)
 
 
 def _sample_fused_fwd(quad, layout, p_nor):
-    n = p_nor.shape[0]
-    L = layout.n_levels
-    C4 = quad.shape[-1]
     sx, sy = _lane_signs(layout)
-    idx, wx, wy, in_x, in_y = _fracs_and_idx(p_nor, layout)
-    g = jnp.take(quad, idx.reshape(-1), axis=0).reshape(n, L * 3, C4)
-    w = _lane_w(wx[..., None], wy[..., None], sx, sy)
-    red = jnp.sum(
-        (g.astype(w.dtype) * w).reshape(n, L, 3, C4), axis=2
-    ).reshape(n, L * C4)
-    return red, (g, idx, wx, wy, in_x, in_y)
+    reds = [None] * layout.n_levels
+    gs, cells, wxs, wys, inxs, inys = [], [], [], [], [], []
+    for lvl, ori, au, av, H, W, off in _plane_list(layout):
+        cell, wx, wy, in_x, in_y = _plane_coords(p_nor, au, av, H, W)
+        g = jnp.take(quad, off + cell, axis=0)
+        w = _lane_w(wx[:, None], wy[:, None], sx, sy)
+        term = g.astype(w.dtype) * w
+        reds[lvl] = term if ori == 0 else reds[lvl] + term
+        gs.append(g)
+        cells.append(cell)
+        wxs.append(wx)
+        wys.append(wy)
+        inxs.append(in_x)
+        inys.append(in_y)
+    red = jnp.concatenate(reds, axis=-1)
+    return red, (tuple(gs), tuple(cells), tuple(wxs), tuple(wys),
+                 tuple(inxs), tuple(inys))
+
+
+def _scatter_grad(quad_grad, off, rows, cell, upd):
+    """Accumulate one plane's (N, 4C) updates at cell indices into the
+    quad-gradient buffer rows [off, off+rows)."""
+    if rows <= ONEHOT_MAX_ROWS:
+        # Dense route: one-hot^T @ upd on the MXU.  One-hot entries are
+        # exact in bf16; updates lose ~2^-8 relative — gradient noise far
+        # below Adam's own stochasticity (pixel sampling).
+        oh = (cell[:, None] == jnp.arange(rows, dtype=jnp.int32)[None, :]
+              ).astype(jnp.bfloat16)
+        pg = jnp.dot(oh.T, upd.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        return quad_grad.at[off:off + rows].add(pg.astype(quad_grad.dtype))
+    return quad_grad.at[off + cell].add(upd.astype(quad_grad.dtype))
 
 
 def _sample_fused_bwd(layout, res, gbar):
-    g, idx, wx, wy, in_x, in_y = res
-    n, P = idx.shape
-    L = layout.n_levels
-    C4 = g.shape[-1]
+    gs, cells, wxs, wys, inxs, inys = res
+    n = gbar.shape[0]
+    C4 = gs[0].shape[-1]
     sx, sy = _lane_signs(layout)
-    AU, AV, W, H, _ = _plane_consts(layout)
 
-    # (N, L*C4) -> per-plane upstream (broadcast over the 3 orientations,
-    # expressed as a gather-free reshape+multiply so XLA fuses it into the
-    # scatter updates / reductions instead of materializing it).
-    gb = gbar.reshape(n, L, 1, C4)
+    quad_grad = jnp.zeros((layout.total_rows, C4), jnp.float32)
+    pg_cols = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
+    for p, (lvl, ori, au, av, H, W, off) in enumerate(_plane_list(layout)):
+        gl = gbar[:, lvl * C4:(lvl + 1) * C4]  # (N, 4C)
+        wxl = wxs[p][:, None]
+        wyl = wys[p][:, None]
+        fx = 0.5 + (wxl - 0.5) * sx
+        fy = 0.5 + (wyl - 0.5) * sy
+        upd = gl * (fx * fy)
+        quad_grad = _scatter_grad(quad_grad, off, H * W, cells[p], upd)
 
-    wxl = wx[..., None]  # (N, P, 1)
-    wyl = wy[..., None]
-    w = _lane_w(wxl, wyl, sx, sy).reshape(n, L, 3, C4)
-
-    upd = (gb * w).reshape(n * P, C4)
-    quad_grad = jnp.zeros(
-        (layout.total_rows, C4), g.dtype
-    ).at[idx.reshape(-1)].add(upd.astype(g.dtype))
-
-    # Coordinate gradient: dL/dwx = sum_lanes g*gb * sx*(0.5+(wy-0.5)sy).
-    ggb = g.reshape(n, L, 3, C4).astype(jnp.float32) * gb
-    dwx = jnp.sum(ggb * (sx * (0.5 + (wyl - 0.5) * sy)).reshape(
-        n, L, 3, C4), axis=-1).reshape(n, P)
-    dwy = jnp.sum(ggb * (sy * (0.5 + (wxl - 0.5) * sx)).reshape(
-        n, L, 3, C4), axis=-1).reshape(n, P)
-    du = dwx * in_x * (0.5 * (W - 1.0))
-    dv = dwy * in_y * (0.5 * (H - 1.0))
-    # AU/AV are compile-time constants: the (N,3) point gradient is a sum
-    # of statically selected plane columns per axis — pure fused adds.
-    cols = []
-    for axis in range(3):
-        terms = [du[:, p] for p in range(P) if AU[p] == axis]
-        terms += [dv[:, p] for p in range(P) if AV[p] == axis]
-        cols.append(sum(terms) if terms else jnp.zeros((n,), jnp.float32))
-    p_grad = jnp.stack(cols, axis=-1)
-    return quad_grad, p_grad
+        # Coordinate gradient: dL/dwx = sum_lanes g*gl * sx*fy (dwy dual).
+        ggl = gs[p].astype(jnp.float32) * gl
+        dwx = jnp.sum(ggl * (sx * fy), axis=-1)
+        dwy = jnp.sum(ggl * (sy * fx), axis=-1)
+        pg_cols[au] = pg_cols[au] + dwx * inxs[p] * (0.5 * (W - 1.0))
+        pg_cols[av] = pg_cols[av] + dwy * inys[p] * (0.5 * (H - 1.0))
+    p_grad = jnp.stack(pg_cols, axis=-1)
+    return quad_grad.astype(gs[0].dtype), p_grad
 
 
 sample_fused.defvjp(_sample_fused_fwd, _sample_fused_bwd)

@@ -166,14 +166,21 @@ def test_reduced_corner_path_matches():
         atol=2e-5, rtol=1e-4)
 
 
-def test_sample_fused_matches_autodiff():
-    """sample_fused's hand-written VJP == autodiff of sample_quad_reduced
-    (values, atlas gradient, and coordinate gradient)."""
-    from myslam_tpu.ops.plane_sample import (
-        pack_quad,
-        sample_fused,
-        sample_quad_reduced,
-    )
+def _run_fused_vs_autodiff(layout, quad, p_nor, gbar):
+    from myslam_tpu.ops.plane_sample import sample_fused, sample_quad_reduced
+
+    def run(f):
+        def loss(q, p):
+            return jnp.sum(f(q, layout, p) * jnp.asarray(gbar))
+        v = f(quad, layout, jnp.asarray(p_nor))
+        gq, gp = jax.grad(loss, argnums=(0, 1))(quad, jnp.asarray(p_nor))
+        return np.asarray(v), np.asarray(gq), np.asarray(gp)
+
+    return run(sample_quad_reduced), run(sample_fused)
+
+
+def _fused_test_inputs():
+    from myslam_tpu.ops.plane_sample import pack_quad
 
     layout = make_layout(jnp.asarray(BOUND), [0.24, 0.06], C_DIM)
     atlas, _ = make_atlas_and_planes(layout, 13)
@@ -184,19 +191,42 @@ def test_sample_fused_matches_autodiff():
     quad = pack_quad(jnp.asarray(atlas), layout)
     gbar = rng.normal(size=(300, layout.n_levels * 4 * C_DIM)).astype(
         np.float32)
+    return layout, quad, p_nor, gbar
 
-    def run(f):
-        def loss(q, p):
-            return jnp.sum(f(q, layout, p) * jnp.asarray(gbar))
-        v = f(quad, layout, jnp.asarray(p_nor))
-        gq, gp = jax.grad(loss, argnums=(0, 1))(quad, jnp.asarray(p_nor))
-        return np.asarray(v), np.asarray(gq), np.asarray(gp)
 
-    v0, gq0, gp0 = run(sample_quad_reduced)
-    v1, gq1, gp1 = run(sample_fused)
+def test_sample_fused_matches_autodiff(monkeypatch):
+    """sample_fused's hand-written VJP == autodiff of sample_quad_reduced
+    (values, atlas gradient, and coordinate gradient), with the bf16
+    one-hot scatter route disabled so the comparison is exact-fp32."""
+    import myslam_tpu.ops.plane_sample as ps
+
+    monkeypatch.setattr(ps, "ONEHOT_MAX_ROWS", 0)
+    layout, quad, p_nor, gbar = _fused_test_inputs()
+    (v0, gq0, gp0), (v1, gq1, gp1) = _run_fused_vs_autodiff(
+        layout, quad, p_nor, gbar)
     np.testing.assert_allclose(v1, v0, atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(gq1, gq0, atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(gp1, gp0, atol=1e-4, rtol=1e-4)
+
+
+def test_sample_fused_onehot_scatter_route(monkeypatch):
+    """The MXU one-hot gradient route (small planes) matches the exact
+    scatter gradient to bf16-rounding tolerance, and only perturbs the
+    planes it covers."""
+    import myslam_tpu.ops.plane_sample as ps
+
+    layout, quad, p_nor, gbar = _fused_test_inputs()
+    assert any(h * w <= ps.ONEHOT_MAX_ROWS
+               for lvl in range(layout.n_levels)
+               for (h, w) in layout.shapes[lvl]), "no plane takes the route"
+    _, (v1, gq1, gp1) = _run_fused_vs_autodiff(layout, quad, p_nor, gbar)
+    monkeypatch.setattr(ps, "ONEHOT_MAX_ROWS", 0)
+    _, (v0, gq0, gp0) = _run_fused_vs_autodiff(layout, quad, p_nor, gbar)
+    np.testing.assert_allclose(v1, v0, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(gp1, gp0, atol=1e-4, rtol=1e-4)
+    # atlas grad: bf16 update rounding, relative to the gradient scale
+    scale = np.abs(gq0).max()
+    np.testing.assert_allclose(gq1, gq0, atol=1.5e-2 * scale)
 
 
 def test_coordinate_gradient_matches_grid_sample():
