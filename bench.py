@@ -50,9 +50,16 @@ def main():
     slam.run()
     wall = time.time() - t0
 
+    # Steady-state throughput measured WINDOW-LEVEL: from the start of the
+    # first post-warmup frame to the device-queue drain.  Per-frame host
+    # times would over-count (dispatch is async: queued device work would
+    # land in the uncounted drain), so they are only kept in metrics.jsonl
+    # for diagnosis.
+    w = min(args.warmup_frames, len(slam.frame_start_wall) - 1)
+    span = slam.drain_wall - slam.frame_start_wall[w]
+    n_steady = len(slam.frame_start_wall) - w
+    fps = n_steady / span if span > 0 else 0.0
     times = np.array(slam.frame_times)
-    steady = times[min(args.warmup_frames, len(times) - 1):]
-    fps = 1.0 / np.mean(steady) if len(steady) else 0.0
 
     t_err = np.linalg.norm(
         slam.estimates[1:, :3, 3] - slam.gt_poses[1:, :3, 3], axis=-1)

@@ -158,6 +158,59 @@ def make_overlap_scorer(cam: Camera, num_rays: int = 50, num_samples: int = 8,
     return jax.jit(score)
 
 
+def make_window_selector(cam: Camera, capacity: int, window_size: int,
+                         w_max: int, scratch_slot: int,
+                         method: str = "overlap",
+                         num_rays: int = 50, num_samples: int = 8,
+                         edge: int = 20):
+    """Fully device-side BA-window selection (no per-frame host fetch).
+
+    Same policy as select_window — up to window_size-1 overlap-weighted
+    (or uniformly random) picks from keyframes older than the last two,
+    plus the last two, ascending — but the scores, the random subset, and
+    the padded slot arrays are all produced by ONE jitted program.  The
+    blocking scores fetch select_window does costs a full tunnel
+    round-trip (~100 ms) per mapped frame on remote devices.
+
+    Returns select(kf_c2w (cap,4,4), count, cur_c2w, gt_depth, key,
+                   joint_opt (f32 0/1))
+      -> (slot_kf (w_max,) i32: window slots ascending then the scratch
+          slot; n_slots i32; pose_mask (w_max,) f32).
+    """
+    scorer = make_overlap_scorer(cam, num_rays, num_samples, edge)
+
+    def select(kf_c2w, count, cur_c2w, gt_depth, key, joint_opt):
+        k_score, k_pick = jax.random.split(key)
+        slot_ids = jnp.arange(capacity)
+        if method == "overlap":
+            scores = scorer(kf_c2w, count - 2, cur_c2w, gt_depth, k_score)
+            eligible = scores > 0  # already -1 for slots >= count-2
+        else:  # 'global': uniform over all keyframes older than the last 2
+            eligible = slot_ids < count - 2
+        # Uniform subset without replacement: random keys, top-k.
+        r = jax.random.uniform(k_pick, (capacity,))
+        rank = jnp.where(eligible, r, -jnp.inf)
+        k = min(window_size - 1, capacity)
+        _, top_idx = jax.lax.top_k(rank, k)
+        top_ok = jnp.take(eligible, top_idx)
+        chosen = jnp.zeros((capacity,), bool).at[top_idx].max(top_ok)
+        # the last two keyframes always join (reference Mapper.py:243-247)
+        last_two = ((slot_ids == count - 1) | (slot_ids == count - 2)) & (
+            count > 1)
+        chosen = chosen | last_two
+        n_kf = jnp.sum(chosen).astype(jnp.int32)
+        (slots_sorted,) = jnp.nonzero(chosen, size=w_max, fill_value=0)
+        pos = jnp.arange(w_max)
+        slot_kf = jnp.where(pos == n_kf, scratch_slot,
+                            slots_sorted).astype(jnp.int32)
+        n_slots = n_kf + 1
+        pose_mask = ((pos >= 1) & (pos <= n_kf)).astype(
+            jnp.float32) * joint_opt
+        return slot_kf, n_slots, pose_mask
+
+    return jax.jit(select)
+
+
 def select_window(
     rng: np.random.Generator,
     scorer,

@@ -37,19 +37,21 @@ def make_mapper(
     cfg: dict,
     scene: SceneGeometry,
     cam: Camera,
-    iters: int,
-    lr_factor: float,
     ray_sharding=None,
     importance: bool = True,
 ):
-    """Build a jitted mapping step for a fixed iteration count / lr factor.
+    """Build a jitted mapping step.
 
-    Two instances cover the reference's schedules: (iters_first,
-    lr_first_factor) for frame 0 and (iters, lr_factor) afterwards
-    (src/Mapper.py:412-417).
+    One compiled program covers both of the reference's schedules —
+    (iters_first, lr_first_factor) for frame 0 and (iters, lr_factor)
+    afterwards (src/Mapper.py:412-417): the iteration count is a host
+    loop over fixed-size chunks, and the lr factor rides in as a traced
+    scale on the Adam updates (Adam's update is -lr*m_hat/sqrt(v_hat), so
+    scaling the update by f is exactly adam(lr*f)).
 
     Returns map_step(ms, poses7 (W,7), pose_mask (W,), slot_kf (W,),
-                     n_slots, kf_colors, kf_depths, key)
+                     n_slots, kf_colors, kf_depths, key, *,
+                     iters, lr_factor)
       -> (ms, poses7, losses (iters,))
     """
     m = cfg["mapping"]
@@ -77,9 +79,9 @@ def make_mapper(
     }
     optimizer = optax.multi_transform(
         {
-            "decoders": optax.adam(float(lr["decoders_lr"]) * lr_factor),
-            "planes": optax.adam(float(lr["planes_lr"]) * lr_factor),
-            "c_planes": optax.adam(float(lr["c_planes_lr"]) * lr_factor),
+            "decoders": optax.adam(float(lr["decoders_lr"])),
+            "planes": optax.adam(float(lr["planes_lr"])),
+            "c_planes": optax.adam(float(lr["c_planes_lr"])),
             "poses": optax.adam(float(m["joint_opt_cam_lr"])),
             "frozen": optax.set_to_zero(),
         },
@@ -156,6 +158,7 @@ def make_mapper(
         kf_depths: jnp.ndarray,
         key: jax.Array,
         start: jnp.ndarray,
+        lr_scale: jnp.ndarray,
         chunk: int,
     ):
         def step(carry, it):
@@ -165,6 +168,13 @@ def make_mapper(
                 params, pose_mask, slot_kf, n_slots, kf_colors, kf_depths, k
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            # Traced lr factor: scales the map groups' updates (the pose
+            # group's lr has no factor in the reference, Mapper.py:291-306).
+            updates = {
+                "map": jax.tree_util.tree_map(
+                    lambda u: u * lr_scale, updates["map"]),
+                "poses": updates["poses"],
+            }
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
@@ -178,7 +188,11 @@ def make_mapper(
     # calls: one arbitrarily long first-frame schedule (reference
     # iters_first=1000, src/Mapper.py:412-417) would otherwise run as a
     # single ~minute-long XLA program, which trips runtime watchdogs.
-    chunk_iters = min(int(cfg["mapping"].get("chunk_iters", 100)), iters)
+    # The default chunk equals the steady schedule's iteration count so
+    # the steady per-frame step and the first-frame schedule share one
+    # compiled program (the first frame adds at most one shorter-chunk
+    # compile for the remainder).
+    chunk_iters = int(cfg["mapping"].get("chunk_iters", 0)) or int(m["iters"])
     jit_chunk = jax.jit(
         run_chunk, static_argnames=("chunk",), donate_argnums=(0, 1))
     jit_init = jax.jit(optimizer.init)
@@ -192,11 +206,15 @@ def make_mapper(
         kf_colors: jnp.ndarray,
         kf_depths: jnp.ndarray,
         key: jax.Array,
+        *,
+        iters: int,
+        lr_factor: float,
     ):
         # Donation contract: ``ms`` is consumed (updated in place across
         # chunks); ``poses`` is copied so the caller's buffer stays valid.
         params = {"map": ms, "poses": jnp.copy(poses)}
         opt_state = jit_init(params)
+        lr_scale = jnp.float32(lr_factor)
         losses = []
         done = 0
         while done < iters:
@@ -205,7 +223,8 @@ def make_mapper(
             # compiled variants per mapper.
             params, opt_state, chunk_losses = jit_chunk(
                 params, opt_state, pose_mask, slot_kf, n_slots,
-                kf_colors, kf_depths, key, jnp.int32(done), chunk=n)
+                kf_colors, kf_depths, key, jnp.int32(done), lr_scale,
+                chunk=n)
             losses.append(chunk_losses)
             done += n
         all_losses = (

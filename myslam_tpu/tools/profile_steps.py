@@ -91,15 +91,16 @@ def main():
              slam.store.colors, slam.store.depths)
     m_iters = int(cfg["mapping"]["iters"])
     for imp in (True, False):
-        mapper = slam._mappers[(False, imp)]
+        mapper = slam._mappers[imp]
+        mkw = dict(iters=m_iters, lr_factor=1.0)
         # the mapper donates its MapState input — time on a fresh copy
         ms0 = jax.tree_util.tree_map(jnp.copy, slam.map_state)
-        ms0, poses_out, mlosses = mapper(ms0, *margs, key)
+        ms0, poses_out, mlosses = mapper(ms0, *margs, key, **mkw)
         fetch(mlosses)
         t0 = time.time()
         for k in range(args.iters):
             ms0, poses_out, mlosses = mapper(
-                ms0, *margs, jax.random.fold_in(key, k))
+                ms0, *margs, jax.random.fold_in(key, k), **mkw)
         fetch(mlosses)
         dt = (time.time() - t0) / args.iters
         print(f"mapping step imp={int(imp)} ({m_iters} iters x "

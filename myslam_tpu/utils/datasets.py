@@ -65,6 +65,15 @@ class BaseDataset:
     def __len__(self):
         return self.n_img
 
+    @property
+    def frame_hw(self) -> tuple:
+        """Dimensions of frames as returned by get_frame (after the
+        optional crop_size resize and crop_edge trim)."""
+        h, w = (self.crop_size if self.crop_size is not None
+                else (self.H, self.W))
+        e = self.crop_edge
+        return h - 2 * e, w - 2 * e
+
     def get_frame(self, index: int):
         color = cv2.imread(self.color_paths[index])
         depth = cv2.imread(self.depth_paths[index], cv2.IMREAD_UNCHANGED)
@@ -270,6 +279,10 @@ class Synthetic(BaseDataset):
         self.poses = [self._pose(i) for i in range(self.n_img)]
         self._cache: dict[int, tuple] = {}
 
+    @property
+    def frame_hw(self) -> tuple:
+        return self.H, self.W  # procedural frames are never cropped
+
     def _pose(self, idx: int) -> np.ndarray:
         center = self.room.mean(axis=1)
         ang = -0.45 * np.pi + idx * self.ang_step
@@ -283,14 +296,31 @@ class Synthetic(BaseDataset):
         if index in self._cache:
             return self._cache[index]
         c2w = self.poses[index]
+        if not hasattr(self, "_dirs_cam"):
+            j, i = np.meshgrid(np.arange(self.H, dtype=np.float32),
+                               np.arange(self.W, dtype=np.float32),
+                               indexing="ij")
+            self._dirs_cam = np.stack(
+                [(i - self.cx) / self.fx, -(j - self.cy) / self.fy,
+                 -np.ones_like(i)], axis=-1)
         color, depth = render_analytic(
             c2w, self.H, self.W, self.fx, self.fy, self.cx, self.cy,
-            self.room, self.spheres)
+            self.room, self.spheres, dirs_cam=self._dirs_cam)
         out = (color.astype(np.float32), depth.astype(np.float32),
                c2w.astype(np.float32))
         if len(self._cache) < 64:
             self._cache[index] = out
         return out
+
+    def sample_pixels(self, index: int, i: np.ndarray, j: np.ndarray):
+        """Sparse RGB-D at pixel coords (build_packet fast path): renders
+        only the requested rays instead of the full frame."""
+        if index in self._cache:  # full frame already on hand: just gather
+            color, depth, _ = self._cache[index]
+            return color[j, i], depth[j, i]
+        return render_analytic_pixels(
+            self.poses[index], i, j, self.fx, self.fy, self.cx, self.cy,
+            self.room, self.spheres)
 
 
 def look_at(eye: np.ndarray, target: np.ndarray,
@@ -307,31 +337,29 @@ def look_at(eye: np.ndarray, target: np.ndarray,
     return c2w
 
 
-def render_analytic(c2w, H, W, fx, fy, cx, cy, room, spheres):
-    """Exact ray-cast RGB-D of the procedural scene (numpy, vectorized).
+def _raycast_analytic(o, d, room, spheres):
+    """Shared exact ray cast: o (3,), d (..., 3) float32 -> (color, t_hit).
 
     Depth is the standard RGB-D perpendicular depth: the parameter t of
     the hit along the unnormalized direction [(i-cx)/fx, -(j-cy)/fy, -1].
+    Everything stays float32 — a float64 constant anywhere would silently
+    promote the whole (H, W, 3) pipeline and double its cost.
     """
-    j, i = np.meshgrid(np.arange(H, dtype=np.float32),
-                       np.arange(W, dtype=np.float32), indexing="ij")
-    dirs_cam = np.stack(
-        [(i - cx) / fx, -(j - cy) / fy, -np.ones_like(i)], axis=-1)
-    d = dirs_cam @ c2w[:3, :3].T
-    o = c2w[:3, 3]
+    room = room.astype(np.float32)
+    base = d.shape[:-1]
 
     # Room walls: exit t of the interior AABB.
     with np.errstate(divide="ignore", invalid="ignore"):
-        tt = (room[None, None, :, :] - o[None, None, :, None]) / d[..., None]
-    t_wall = np.min(np.max(tt, axis=-1), axis=-1)
-    t_hit = t_wall.copy()
-    obj_id = np.zeros((H, W), np.int32)  # 0 = wall
+        tt = (room.reshape((1,) * len(base) + (3, 2))
+              - o.reshape((1,) * len(base) + (3, 1))) / d[..., None]
+    t_hit = np.min(np.max(tt, axis=-1), axis=-1)
+    obj_id = np.zeros(base, np.int32)  # 0 = wall
 
     for si, (sx, sy, sz, r) in enumerate(spheres):
-        oc = o - np.array([sx, sy, sz])
+        oc = (o - np.array([sx, sy, sz], np.float32))
         a = np.sum(d * d, axis=-1)
         b = 2.0 * (d @ oc)
-        c0 = float(oc @ oc - r * r)
+        c0 = np.float32(oc @ oc - r * r)
         disc = b * b - 4 * a * c0
         valid = disc > 0
         sq = np.sqrt(np.maximum(disc, 0))
@@ -340,15 +368,48 @@ def render_analytic(c2w, H, W, fx, fy, cx, cy, room, spheres):
         t_hit = np.where(hit, t_s, t_hit)
         obj_id = np.where(hit, si + 1, obj_id)
 
-    pts = o[None, None, :] + t_hit[..., None] * d
+    pts = o.reshape((1,) * len(base) + (3,)) + t_hit[..., None] * d
     # Smooth procedural coloring by hit position and object id.
-    phase = np.array([0.0, 2.1, 4.2]) + obj_id[..., None] * 1.3
-    freq = 2.0 + 1.5 * obj_id[..., None]
+    phase = (np.array([0.0, 2.1, 4.2], np.float32)
+             + obj_id[..., None].astype(np.float32) * 1.3)
+    freq = 2.0 + 1.5 * obj_id[..., None].astype(np.float32)
     color = 0.5 + 0.35 * np.sin(
         freq * pts[..., [0, 1, 2]] + phase) + 0.15 * np.cos(
-        3.1 * pts[..., [1, 2, 0]])
-    color = np.clip(color, 0.0, 1.0)
-    return color, t_hit
+        np.float32(3.1) * pts[..., [1, 2, 0]])
+    color = np.clip(color, 0.0, 1.0).astype(np.float32)
+    return color, t_hit.astype(np.float32)
+
+
+def render_analytic(c2w, H, W, fx, fy, cx, cy, room, spheres,
+                    dirs_cam=None):
+    """Exact full-image ray-cast RGB-D of the procedural scene.
+
+    ``dirs_cam``: optional precomputed (H, W, 3) camera-space directions
+    (identical for every frame — callers rendering sequences should cache
+    them once).
+    """
+    if dirs_cam is None:
+        j, i = np.meshgrid(np.arange(H, dtype=np.float32),
+                           np.arange(W, dtype=np.float32), indexing="ij")
+        dirs_cam = np.stack(
+            [(i - cx) / fx, -(j - cy) / fy, -np.ones_like(i)], axis=-1)
+    d = dirs_cam @ c2w[:3, :3].T.astype(np.float32)
+    return _raycast_analytic(c2w[:3, 3].astype(np.float32), d, room, spheres)
+
+
+def render_analytic_pixels(c2w, i, j, fx, fy, cx, cy, room, spheres):
+    """Ray-cast only the given pixel coordinates i (N,), j (N,).
+
+    Same math as render_analytic evaluated sparsely — tracking-only frames
+    need ~16k sampled pixels, not the full 816k-pixel image (a ~50x
+    host-CPU saving that keeps the packet prefetcher ahead of the loop).
+    """
+    i = i.astype(np.float32)
+    j = j.astype(np.float32)
+    dirs_cam = np.stack(
+        [(i - cx) / fx, -(j - cy) / fy, -np.ones_like(i)], axis=-1)
+    d = dirs_cam @ c2w[:3, :3].T.astype(np.float32)
+    return _raycast_analytic(c2w[:3, 3].astype(np.float32), d, room, spheres)
 
 
 class FramePacket:
@@ -400,11 +461,26 @@ def build_packet(dataset, idx: int, *, iters: int, n_px: int,
     """
     from myslam_tpu import native
 
-    color, depth, c2w = dataset.get_frame(idx)
-    H, W = depth.shape
     rng = np.random.default_rng((seed + 1) * 1_000_003 + idx)
+    H, W = dataset.frame_hw
     j = rng.integers(ie_h, H - ie_h, size=(iters, n_px)).astype(np.uint16)
     i = rng.integers(ie_w, W - ie_w, size=(iters, n_px)).astype(np.uint16)
+
+    if not need_full and hasattr(dataset, "sample_pixels"):
+        # Sparse path: evaluate only the sampled rays (procedural
+        # datasets) — the full-frame render is ~50x more host CPU.
+        px_color, px_depth = dataset.sample_pixels(
+            idx, i.reshape(-1).astype(np.int64),
+            j.reshape(-1).astype(np.int64))
+        px_color = np.clip(np.rint(px_color * 255.0), 0, 255).astype(
+            np.uint8).reshape(iters, n_px, 3)
+        px_depth = px_depth.astype(np.float32).reshape(iters, n_px)
+        return FramePacket(
+            idx, dataset.poses[idx].astype(np.float32), i, j,
+            px_color, px_depth,
+            has_depthless=bool((px_depth <= 0).any()))
+
+    color, depth, c2w = dataset.get_frame(idx)
     px_color, px_depth, has_depthless = native.gather_pixels(
         color, depth, i, j)
     px_color = px_color.reshape(iters, n_px, 3)

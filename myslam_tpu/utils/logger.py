@@ -25,7 +25,9 @@ def save_checkpoint(path: str, slam, idx: int) -> str:
     store = slam.store
     decoder = slam.map_state.decoder
     flat, treedef = jax.tree_util.tree_flatten(decoder)
-    np.savez_compressed(
+    # Uncompressed npz: zlib over the (mostly incompressible) f16 keyframe
+    # imagery costs seconds per save on a 2-core host for <2x size.
+    np.savez(
         path,
         idx=idx,
         sdf_atlas=np.asarray(slam.map_state.sdf_atlas),

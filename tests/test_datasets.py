@@ -175,3 +175,28 @@ def test_synthetic_depth_consistent_with_rays():
         - sph[None, :, 3]), axis=-1)
     dist = np.minimum(d_wall, d_sph)
     assert np.quantile(dist, 0.99) < 1e-3
+
+
+def test_synthetic_sparse_pixels_match_dense(tmp_path):
+    """build_packet's sparse ray-cast path (tracking-only frames) must
+    produce the same pixel batches as the dense full-frame path."""
+    from myslam_tpu.utils.datasets import Synthetic, build_packet
+
+    cfg = {
+        "dataset": "synthetic", "scale": 1,
+        "cam": {"H": 60, "W": 80, "fx": 60.0, "fy": 60.0,
+                "cx": 40.0, "cy": 30.0, "png_depth_scale": 1.0},
+        "data": {"n_frames": 4},
+    }
+    ds_sparse = Synthetic(cfg)
+    ds_dense = Synthetic(cfg)
+    ds_dense.get_frame(2)  # prime the cache: forces the gather path
+    kw = dict(iters=3, n_px=64, ie_h=4, ie_w=4, seed=5)
+    p_sparse = build_packet(ds_sparse, 2, need_full=False, **kw)
+    p_dense = build_packet(ds_dense, 2, need_full=True, **kw)
+    np.testing.assert_array_equal(p_sparse.px_i, p_dense.px_i)
+    np.testing.assert_array_equal(p_sparse.px_j, p_dense.px_j)
+    np.testing.assert_array_equal(p_sparse.px_color, p_dense.px_color)
+    np.testing.assert_allclose(p_sparse.px_depth, p_dense.px_depth,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(p_sparse.gt_c2w, p_dense.gt_c2w)

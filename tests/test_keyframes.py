@@ -86,3 +86,45 @@ def test_select_window_global_method():
     assert 8 in win and 9 in win
     assert len(win) <= 4 + 1
     assert all(0 <= s < 10 for s in win)
+
+
+def test_device_window_selector_matches_policy():
+    """make_window_selector (device-side) enforces the same policy as the
+    host select_window: last two keyframes always in, overlap-positive
+    older picks, ascending order, scratch slot appended, oldest frozen."""
+    from myslam_tpu.engine.keyframes import make_window_selector
+
+    center = np.array([2.0, 1.5, 1.2])
+    eye = center + np.array([0.9, 0.0, 0.0])
+    same = look_at(eye, center)
+    opposite = look_at(eye, eye + (eye - center))
+    poses = [same, opposite, same, same, same, same]
+    store = make_store(6, poses)
+    scratch = store.capacity - 1
+    w_max = 6  # window_size 4 -> up to 3 picks + last two + current
+    select = make_window_selector(CAM, store.capacity, window_size=4,
+                                  w_max=w_max, scratch_slot=scratch)
+    depth = jnp.full((CAM.H, CAM.W), 1.5)
+    slot_kf, n_slots, pose_mask = jax.tree_util.tree_map(
+        np.asarray, select(store.est_c2w, jnp.int32(store.count),
+                           jnp.asarray(same), depth, jax.random.PRNGKey(1),
+                           jnp.float32(1.0)))
+    n = int(n_slots)
+    slots = list(slot_kf[:n])
+    assert slots[-1] == scratch          # current frame last
+    kfs = slots[:-1]
+    assert 4 in kfs and 5 in kfs         # last two keyframes always join
+    assert kfs == sorted(kfs)            # ascending (oldest first)
+    assert 1 not in kfs                  # zero-overlap keyframe excluded
+    assert len(kfs) <= 3 + 2
+    # pose mask: oldest window frame frozen, rest (incl current) active
+    np.testing.assert_array_equal(pose_mask[:n],
+                                  [0.0] + [1.0] * (n - 1))
+    assert np.all(pose_mask[n:] == 0)
+
+    # count == 0: window is just the current frame, nothing optimized
+    empty = KeyframeStore(capacity=store.capacity, cam=CAM)
+    slot_kf0, n0, mask0 = jax.tree_util.tree_map(
+        np.asarray, select(empty.est_c2w, jnp.int32(0), jnp.asarray(same),
+                           depth, jax.random.PRNGKey(2), jnp.float32(0.0)))
+    assert int(n0) == 1 and slot_kf0[0] == scratch and np.all(mask0 == 0)
