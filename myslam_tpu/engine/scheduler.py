@@ -32,7 +32,7 @@ from myslam_tpu.engine.keyframes import (
     make_window_selector,
 )
 from myslam_tpu.engine.mapper import make_mapper
-from myslam_tpu.engine.tracker import constant_speed_init, make_tracker
+from myslam_tpu.engine.tracker import make_frame_tracker
 from myslam_tpu.models.decoders import init_decoder_params
 from myslam_tpu.models.planes import make_layout, init_map_state
 from myslam_tpu.render.renderer import SceneGeometry
@@ -153,8 +153,8 @@ class SLAMSystem:
             self.mesh = make_mesh(n_dev)
             self.ray_sharding = ray_dp_sharding(self.mesh)
 
-        self.tracker = make_tracker(cfg, self.scene, self.cam,
-                                    ray_sharding=self.ray_sharding)
+        self.tracker = make_frame_tracker(cfg, self.scene, self.cam,
+                                          ray_sharding=self.ray_sharding)
         # Mapper variants by importance-branch only: the first-frame and
         # steady schedules share each variant's compiled program (iteration
         # count is a host chunk loop; lr factor is traced).  The
@@ -174,28 +174,24 @@ class SLAMSystem:
             self.scratch_slot, method=self.keyframe_selection_method)
 
         w_max = self.w_max
+        select_fn = self._select_window
+        scratch_slot = self.scratch_slot
 
         @jax.jit
-        def _window_poses(kf_est, est_poses, slot_kf, n_slots, idx):
-            """(W_MAX, 7) window poses: keyframe store poses for slots
-            [0, n_slots-1), the current frame's estimate in the last
-            active slot; all assembled on device."""
+        def _prepare_window(kf_est, est_poses, kf_depths, count, idx, key,
+                            joint_opt):
+            """BA-window preparation as ONE device program: overlap-scored
+            slot selection, pose-mask construction, and (W_MAX, 7) window
+            pose assembly (keyframe store poses; the current frame's
+            estimate in the last active slot)."""
+            cur_c2w = est_poses[idx]
+            slot_kf, n_slots, pose_mask = select_fn(
+                kf_est, count, cur_c2w, kf_depths[scratch_slot], key,
+                joint_opt)
             c2ws = kf_est[slot_kf]  # (W_MAX, 4, 4)
             is_cur = jnp.arange(w_max) == n_slots - 1
-            c2ws = jnp.where(
-                is_cur[:, None, None], est_poses[idx][None], c2ws)
-            return matrix_to_cam_pose(c2ws)
-
-        @partial(jax.jit, static_argnames=("const_speed",))
-        def _pose_init(est_poses, idx, const_speed):
-            """Tracking init: previous pose or constant-speed extrapolation
-            in (quat, trans) space (reference src/Tracker.py:282-289)."""
-            prev = matrix_to_cam_pose(est_poses[idx - 1][None])[0]
-            if not const_speed:
-                return prev
-            prev_prev = matrix_to_cam_pose(
-                est_poses[jnp.maximum(idx - 2, 0)][None])[0]
-            return constant_speed_init(prev, prev_prev, True)
+            c2ws = jnp.where(is_cur[:, None, None], cur_c2w[None], c2ws)
+            return slot_kf, n_slots, pose_mask, matrix_to_cam_pose(c2ws)
 
         @jax.jit
         def _pose_writeback(kf_est, est_dev, poses_out, slot_kf, write_mask,
@@ -212,8 +208,7 @@ class SLAMSystem:
             est_dev = est_dev.at[idx].set(c2ws[cur_pos])
             return kf_est, est_dev
 
-        self._window_poses = _window_poses
-        self._pose_init = _pose_init
+        self._prepare_window = _prepare_window
         self._pose_writeback = _pose_writeback
 
         # Estimated trajectory lives ON DEVICE: per-frame pose writes,
@@ -301,18 +296,12 @@ class SLAMSystem:
         imagery must already be staged in the store's scratch slot; its
         estimated pose is in self._est_dev[idx]."""
         t0 = time.time()
-        cur_c2w = self._est_dev[idx]
-        depth_dev = self.store.depths[self.scratch_slot]
-
         joint_opt = self.joint_opt_enabled and (self.store.count > 4)
-        # Window selection runs entirely on device (no blocking fetch).
-        slot_kf_dev, n_slots, pose_mask = self._select_window(
-            self.store.est_c2w, jnp.int32(self.store.count), cur_c2w,
-            depth_dev, self._next_key(),
+        # Window selection + pose assembly: one device program, no fetch.
+        slot_kf_dev, n_slots, pose_mask, poses_pad = self._prepare_window(
+            self.store.est_c2w, self._est_dev, self.store.depths,
+            jnp.int32(self.store.count), jnp.int32(idx), self._next_key(),
             jnp.float32(1.0 if joint_opt else 0.0))
-        poses_pad = self._window_poses(
-            self.store.est_c2w, self._est_dev, slot_kf_dev,
-            n_slots, jnp.int32(idx))
 
         # Conservative (host-known): importance is needed if ANY stored
         # keyframe has depth holes.  For windows that happen to contain
@@ -395,16 +384,13 @@ class SLAMSystem:
 
     def _track_frame(self, idx: int, pkt) -> dict:
         t0 = time.time()
-        pose_init = self._pose_init(
-            self._est_dev, jnp.int32(idx), self.const_speed and idx >= 2)
-
-        best_pose, losses = self.tracker(
-            self.map_state, pose_init,
+        # ONE device program: pose init + 8-iter optimization + trajectory
+        # write-back (est_dev donated).
+        self._est_dev, c2w, loss_first, loss_best = self.tracker(
+            self.map_state, self._est_dev, jnp.int32(idx),
             jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
             jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth),
             self._next_key())
-        c2w = cam_pose_to_matrix(best_pose[None])[0]
-        self._est_dev = self._est_dev.at[idx].set(c2w)
         if idx % self.track_vis.freq == 0 and pkt.color_u8 is not None:
             self.track_vis.save_imgs(
                 idx, 0,
@@ -413,8 +399,8 @@ class SLAMSystem:
                 c2w, self.map_state, self._next_key())
         dt = time.time() - t0
         return {
-            "track_loss_first": losses[0],
-            "track_loss_best": jnp.min(losses),
+            "track_loss_first": loss_first,
+            "track_loss_best": loss_best,
             "track_ms": dt * 1e3,
         }
 
@@ -453,18 +439,12 @@ class SLAMSystem:
         stall lands mid-run (the window selector first runs at the 4th
         mapped frame, pose write-back when joint_opt first activates)."""
         k = jax.random.PRNGKey(0)
-        slot_kf, n_slots, pose_mask = self._select_window(
-            self.store.est_c2w, jnp.int32(0), self._est_dev[0],
-            self.store.depths[self.scratch_slot], k, jnp.float32(0.0))
-        poses_pad = self._window_poses(
-            self.store.est_c2w, self._est_dev, slot_kf, n_slots,
-            jnp.int32(0))
+        slot_kf, n_slots, pose_mask, poses_pad = self._prepare_window(
+            self.store.est_c2w, self._est_dev, self.store.depths,
+            jnp.int32(0), jnp.int32(0), k, jnp.float32(0.0))
         wb = self._pose_writeback(
             self.store.est_c2w, self._est_dev, poses_pad, slot_kf,
             pose_mask, jnp.int32(0), n_slots - 1)  # results discarded
-        self._pose_init(self._est_dev, jnp.int32(2), False)
-        if self.const_speed:
-            self._pose_init(self._est_dev, jnp.int32(2), True)
         jax.block_until_ready(wb)
 
     def run(self, start_idx: int = 0) -> None:

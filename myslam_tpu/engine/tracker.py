@@ -153,3 +153,40 @@ def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
         return best_pose, losses
 
     return jax.jit(track)
+
+
+def make_frame_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
+                       ray_sharding=None):
+    """Whole-frame tracking as ONE device program.
+
+    Wraps make_tracker's optimization scan with the pose initialization
+    (constant-speed extrapolation from the on-device trajectory,
+    reference src/Tracker.py:282-289) and the trajectory write-back, so a
+    tracked frame costs a single dispatch instead of four (each extra
+    tiny program adds queue latency on remote devices).
+
+    Returns track_frame(ms, est_c2w (n,4,4) [donated], idx, px_i, px_j,
+                        px_color, px_depth, key)
+      -> (est_c2w', c2w (4,4), loss_first, loss_best)
+    """
+    from myslam_tpu.core.quaternion import matrix_to_cam_pose
+
+    const_speed = bool(cfg["tracking"].get("const_speed_assumption", True))
+    track = make_tracker(cfg, scene, cam, ray_sharding=ray_sharding)
+
+    def track_frame(ms: MapState, est_c2w, idx, px_i, px_j, px_color,
+                    px_depth, key):
+        prev = matrix_to_cam_pose(est_c2w[idx - 1][None])[0]
+        if const_speed:
+            prev_prev = matrix_to_cam_pose(
+                est_c2w[jnp.maximum(idx - 2, 0)][None])[0]
+            pose_init = jnp.where(idx >= 2, 2.0 * prev - prev_prev, prev)
+        else:
+            pose_init = prev
+        best_pose, losses = track(ms, pose_init, px_i, px_j, px_color,
+                                  px_depth, key)
+        c2w = cam_pose_to_matrix(best_pose[None])[0]
+        est_c2w = est_c2w.at[idx].set(c2w)
+        return est_c2w, c2w, losses[0], jnp.min(losses)
+
+    return jax.jit(track_frame, donate_argnums=(1,))

@@ -60,6 +60,15 @@ def get_lib():
                     i64, u8p, f32p, ctypes.POINTER(ctypes.c_int)]
                 lib.has_nonpositive.argtypes = [f32p, i64]
                 lib.has_nonpositive.restype = ctypes.c_int
+                cf = ctypes.c_float
+                ci = ctypes.c_int
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                lib.render_analytic_frame.argtypes = [
+                    f32p, ci, ci, cf, cf, cf, cf, f32p, f32p, ci,
+                    f32p, f32p]
+                lib.render_analytic_px.argtypes = [
+                    f32p, i32p, i32p, i64, cf, cf, cf, cf, f32p, f32p,
+                    ci, f32p, f32p]
                 _lib = lib
             except OSError:
                 _lib = None
@@ -136,3 +145,44 @@ def gather_pixels(color: np.ndarray, depth: np.ndarray,
     whole = bool(lib.has_nonpositive(_ptr(depth, ctypes.c_float),
                                      depth.size))
     return out_c, out_d, whole
+
+
+def render_analytic_frame(c2w, H, W, fx, fy, cx, cy, room, spheres):
+    """Multithreaded full-frame raycast of the procedural scene, or None
+    when the native library is unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    c2w = np.ascontiguousarray(c2w, np.float32)
+    room = np.ascontiguousarray(room, np.float32)
+    spheres = np.ascontiguousarray(spheres, np.float32)
+    color = np.empty((H, W, 3), np.float32)
+    depth = np.empty((H, W), np.float32)
+    lib.render_analytic_frame(
+        _ptr(c2w, ctypes.c_float), H, W, fx, fy, cx, cy,
+        _ptr(room, ctypes.c_float), _ptr(spheres, ctypes.c_float),
+        len(spheres), _ptr(color, ctypes.c_float),
+        _ptr(depth, ctypes.c_float))
+    return color, depth
+
+
+def render_analytic_px(c2w, i, j, fx, fy, cx, cy, room, spheres):
+    """Sparse raycast at pixel coords i/j (int arrays), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    c2w = np.ascontiguousarray(c2w, np.float32)
+    room = np.ascontiguousarray(room, np.float32)
+    spheres = np.ascontiguousarray(spheres, np.float32)
+    i = np.ascontiguousarray(i, np.int32)
+    j = np.ascontiguousarray(j, np.int32)
+    m = i.size
+    color = np.empty((m, 3), np.float32)
+    depth = np.empty((m,), np.float32)
+    lib.render_analytic_px(
+        _ptr(c2w, ctypes.c_float), _ptr(i, ctypes.c_int32),
+        _ptr(j, ctypes.c_int32), m, fx, fy, cx, cy,
+        _ptr(room, ctypes.c_float), _ptr(spheres, ctypes.c_float),
+        len(spheres), _ptr(color, ctypes.c_float),
+        _ptr(depth, ctypes.c_float))
+    return color, depth

@@ -18,8 +18,109 @@
 #include <cstdint>
 #include <cmath>
 #include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// One ray of the procedural benchmark scene (AABB room + spheres); same
+// arithmetic as datasets._raycast_analytic so the sparse and dense paths
+// agree bit-for-bit with each other (libm sin/cos may differ from
+// numpy's vectorized routines by ~1 ulp — harmless for u8 color).
+inline void raycast_one(const float* c2w, float px, float py,
+                        float fx, float fy, float cx, float cy,
+                        const float* room, const float* spheres,
+                        int n_spheres, float* color3, float* depth1) {
+  const float dir[3] = {(px - cx) / fx, -(py - cy) / fy, -1.0f};
+  float d[3], o[3];
+  for (int k = 0; k < 3; ++k) {
+    d[k] = c2w[k * 4 + 0] * dir[0] + c2w[k * 4 + 1] * dir[1]
+         + c2w[k * 4 + 2] * dir[2];
+    o[k] = c2w[k * 4 + 3];
+  }
+  float t_hit = INFINITY;
+  for (int k = 0; k < 3; ++k) {
+    float t0 = (room[k * 2 + 0] - o[k]) / d[k];
+    float t1 = (room[k * 2 + 1] - o[k]) / d[k];
+    float tmax = t0 > t1 ? t0 : t1;
+    if (tmax < t_hit) t_hit = tmax;
+  }
+  int obj_id = 0;
+  for (int s = 0; s < n_spheres; ++s) {
+    const float* sp = spheres + s * 4;
+    float oc[3] = {o[0] - sp[0], o[1] - sp[1], o[2] - sp[2]};
+    float a = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
+    float b = 2.0f * (d[0] * oc[0] + d[1] * oc[1] + d[2] * oc[2]);
+    float c0 = oc[0] * oc[0] + oc[1] * oc[1] + oc[2] * oc[2]
+             - sp[3] * sp[3];
+    float disc = b * b - 4.0f * a * c0;
+    if (disc > 0.0f) {
+      float t_s = (-b - sqrtf(disc)) / (2.0f * a);
+      if (t_s > 1e-4f && t_s < t_hit) {
+        t_hit = t_s;
+        obj_id = s + 1;
+      }
+    }
+  }
+  float pts[3] = {o[0] + t_hit * d[0], o[1] + t_hit * d[1],
+                  o[2] + t_hit * d[2]};
+  const float base_phase[3] = {0.0f, 2.1f, 4.2f};
+  const int perm2[3] = {1, 2, 0};
+  float freq = 2.0f + 1.5f * (float)obj_id;
+  for (int k = 0; k < 3; ++k) {
+    float ph = base_phase[k] + 1.3f * (float)obj_id;  // python eval order
+    float v = 0.5f + 0.35f * sinf(freq * pts[k] + ph)
+            + 0.15f * cosf(3.1f * pts[perm2[k]]);
+    color3[k] = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
+  }
+  *depth1 = t_hit;
+}
+
+template <typename Fn>
+void parallel_rows(int64_t n, Fn fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = hw ? (int)hw : 2;
+  if (n < 4096 || n_threads <= 1) { fn(0, n); return; }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+    if (lo >= hi) break;
+    ts.emplace_back([=] { fn(lo, hi); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // namespace
 
 extern "C" {
+
+// Full-frame procedural raycast: color (H*W*3) f32, depth (H*W) f32.
+void render_analytic_frame(const float* c2w, int H, int W,
+                           float fx, float fy, float cx, float cy,
+                           const float* room, const float* spheres,
+                           int n_spheres, float* color, float* depth) {
+  parallel_rows((int64_t)H * W, [=](int64_t lo, int64_t hi) {
+    for (int64_t p = lo; p < hi; ++p) {
+      float py = (float)(p / W), px = (float)(p % W);
+      raycast_one(c2w, px, py, fx, fy, cx, cy, room, spheres, n_spheres,
+                  color + p * 3, depth + p);
+    }
+  });
+}
+
+// Sparse raycast at m pixel coordinates (i[k], j[k]).
+void render_analytic_px(const float* c2w, const int32_t* ii,
+                        const int32_t* jj, int64_t m,
+                        float fx, float fy, float cx, float cy,
+                        const float* room, const float* spheres,
+                        int n_spheres, float* color, float* depth) {
+  parallel_rows(m, [=](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k)
+      raycast_one(c2w, (float)ii[k], (float)jj[k], fx, fy, cx, cy, room,
+                  spheres, n_spheres, color + k * 3, depth + k);
+  });
+}
 
 // color: (H*W*3) float32 in [0,1] -> u8, one pass.
 void encode_color_u8(const float* color, int64_t n, uint8_t* out) {

@@ -50,18 +50,18 @@ def main():
     targs = (jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
              jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth))
 
-    # --- tracking step ---
-    from myslam_tpu.core.quaternion import matrix_to_cam_pose
-
-    pose0 = matrix_to_cam_pose(jnp.asarray(gt_c2w)[None])[0]
+    # --- tracking step (full fused frame program) ---
     key = jax.random.PRNGKey(0)
-    best, losses = slam.tracker(slam.map_state, pose0, *targs, key)
-    fetch(losses)
+    est = slam._est_dev
+    est, c2w, lf, lb = slam.tracker(
+        slam.map_state, est, jnp.int32(1), *targs, key)
+    fetch(lb)
     t0 = time.time()
     for k in range(args.iters):
-        best, losses = slam.tracker(
-            slam.map_state, pose0, *targs, jax.random.fold_in(key, k))
-    fetch(losses)
+        est, c2w, lf, lb = slam.tracker(
+            slam.map_state, est, jnp.int32(1), *targs,
+            jax.random.fold_in(key, k))
+    fetch(lb)
     t_iters = int(cfg["tracking"]["iters"])
     dt = (time.time() - t0) / args.iters
     print(f"tracking step ({t_iters} iters x "
@@ -78,7 +78,8 @@ def main():
     w_max = slam.w_max
     poses_pad = np.zeros((w_max, 7), np.float32)
     poses_pad[:, 0] = 1.0
-    pose7 = np.asarray(pose0)
+    from myslam_tpu.core.quaternion import matrix_to_cam_pose
+    pose7 = np.asarray(matrix_to_cam_pose(jnp.asarray(gt_c2w)[None])[0])
     for s in range(4):
         poses_pad[s] = pose7
     slot_kf = np.zeros((w_max,), np.int32)

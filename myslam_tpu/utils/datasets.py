@@ -296,16 +296,23 @@ class Synthetic(BaseDataset):
         if index in self._cache:
             return self._cache[index]
         c2w = self.poses[index]
-        if not hasattr(self, "_dirs_cam"):
-            j, i = np.meshgrid(np.arange(self.H, dtype=np.float32),
-                               np.arange(self.W, dtype=np.float32),
-                               indexing="ij")
-            self._dirs_cam = np.stack(
-                [(i - self.cx) / self.fx, -(j - self.cy) / self.fy,
-                 -np.ones_like(i)], axis=-1)
-        color, depth = render_analytic(
+        from myslam_tpu import native
+        out = native.render_analytic_frame(
             c2w, self.H, self.W, self.fx, self.fy, self.cx, self.cy,
-            self.room, self.spheres, dirs_cam=self._dirs_cam)
+            self.room, self.spheres)
+        if out is not None:
+            color, depth = out
+        else:
+            if not hasattr(self, "_dirs_cam"):
+                j, i = np.meshgrid(np.arange(self.H, dtype=np.float32),
+                                   np.arange(self.W, dtype=np.float32),
+                                   indexing="ij")
+                self._dirs_cam = np.stack(
+                    [(i - self.cx) / self.fx, -(j - self.cy) / self.fy,
+                     -np.ones_like(i)], axis=-1)
+            color, depth = render_analytic(
+                c2w, self.H, self.W, self.fx, self.fy, self.cx, self.cy,
+                self.room, self.spheres, dirs_cam=self._dirs_cam)
         out = (color.astype(np.float32), depth.astype(np.float32),
                c2w.astype(np.float32))
         if len(self._cache) < 64:
@@ -318,6 +325,12 @@ class Synthetic(BaseDataset):
         if index in self._cache:  # full frame already on hand: just gather
             color, depth, _ = self._cache[index]
             return color[j, i], depth[j, i]
+        from myslam_tpu import native
+        out = native.render_analytic_px(
+            self.poses[index], i, j, self.fx, self.fy, self.cx, self.cy,
+            self.room, self.spheres)
+        if out is not None:
+            return out
         return render_analytic_pixels(
             self.poses[index], i, j, self.fx, self.fy, self.cx, self.cy,
             self.room, self.spheres)

@@ -56,3 +56,32 @@ def test_gather_pixels_matches_numpy():
 def test_depth_max():
     _, depth = _frame(5)
     assert native.depth_max(depth) == pytest.approx(float(depth.max()))
+
+
+def test_native_raycast_matches_numpy():
+    """C++ procedural raycast == numpy reference within sin/cos ulp."""
+    from myslam_tpu import native
+    from myslam_tpu.utils.datasets import (
+        render_analytic, render_analytic_pixels, look_at)
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    room = np.array([[0.0, 4.0], [0.0, 3.0], [0.0, 2.5]])
+    spheres = np.array([[2.6, 1.9, 0.7, 0.5], [1.3, 0.9, 1.6, 0.35]])
+    c2w = look_at(np.array([2.2, 1.0, 1.2]),
+                  np.array([2.0, 2.5, 1.0])).astype(np.float32)
+    H, W, fx, fy, cx, cy = 48, 64, 40.0, 40.0, 31.5, 23.5
+    cn, dn = native.render_analytic_frame(
+        c2w, H, W, fx, fy, cx, cy, room, spheres)
+    cp, dp = render_analytic(c2w, H, W, fx, fy, cx, cy, room, spheres)
+    np.testing.assert_allclose(dn, dp, atol=1e-4)
+    np.testing.assert_allclose(cn, cp, atol=1e-4)
+    # sparse native == dense native at the same pixels (exactly)
+    rng = np.random.default_rng(0)
+    i = rng.integers(0, W, 200).astype(np.int32)
+    j = rng.integers(0, H, 200).astype(np.int32)
+    cs, ds = native.render_analytic_px(
+        c2w, i, j, fx, fy, cx, cy, room, spheres)
+    np.testing.assert_array_equal(ds, dn[j, i])
+    np.testing.assert_array_equal(cs, cn[j, i])

@@ -60,10 +60,12 @@ def test_tracker_shards_over_mesh():
     pkt = build_packet(slam.dataset, 1, iters=int(cfg["tracking"]["iters"]),
                        n_px=int(cfg["tracking"]["pixels"]),
                        ie_h=10, ie_w=10, need_full=False, seed=0)
-    pose0 = matrix_to_cam_pose(jnp.asarray(pkt.gt_c2w)[None])[0]
-    best, losses = slam.tracker(
-        slam.map_state, pose0, jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
+    est0 = slam._est_dev.at[0].set(jnp.asarray(pkt.gt_c2w))
+    est1, c2w, loss_first, loss_best = slam.tracker(
+        slam.map_state, est0, jnp.int32(1),
+        jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
         jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth),
         jax.random.PRNGKey(0))
-    assert np.isfinite(np.asarray(losses)).all()
-    assert best.shape == (7,)
+    assert np.isfinite(float(loss_first)) and np.isfinite(float(loss_best))
+    assert c2w.shape == (4, 4)
+    np.testing.assert_allclose(np.asarray(est1[1]), np.asarray(c2w))
