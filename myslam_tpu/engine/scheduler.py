@@ -220,6 +220,11 @@ class SLAMSystem:
         self.frame_times: list[float] = []
         self.frame_start_wall: list[float] = []
         self.drain_wall: float = 0.0
+        # Benchmarking: drain the device queue after this frame index so a
+        # measurement window starting at the next frame contains no queued
+        # backlog (dispatch is async; the first-frame mapping alone queues
+        # ~30 s of device work).
+        self.sync_after_frame: int | None = None
         self.metrics_path = os.path.join(self.output, "metrics.jsonl")
         self._metrics_f = open(self.metrics_path, "a")
         self._pending_metrics: list[dict] = []
@@ -479,6 +484,8 @@ class SLAMSystem:
                 if self.on_map_done is not None:
                     self.on_map_done(self, idx)
 
+            if idx == self.sync_after_frame:
+                jax.block_until_ready(self._est_dev)
             rec["frame_ms"] = (time.time() - t_frame) * 1e3
             self.frame_times.append(time.time() - t_frame)
             self._log_metrics(rec)
