@@ -79,3 +79,57 @@ def test_sharded_gradients_match(setup):
     ga_sh_atlas = slayout.unshard_atlas(np.asarray(ga_sh))
     np.testing.assert_allclose(
         ga_sh_atlas, np.asarray(ga_ref), atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_mapper_matches_single_shard():
+    """A full sharded-map BA step on a 4-device mesh reproduces the
+    1-device (degenerate sharding) run: same pixels, same losses."""
+    from myslam_tpu.engine.camera import Camera
+    from myslam_tpu.models.decoders import init_decoder_params
+    from myslam_tpu.models.planes import init_map_state
+    from myslam_tpu.parallel.sharded_mapper import make_sharded_mapper
+    from myslam_tpu.render.renderer import SceneGeometry
+    from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+    import copy, os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs", "Synthetic",
+                                   "room_smoke.yaml"), DEFAULT_CONFIG)
+    cfg = copy.deepcopy(cfg)
+    cfg["mapping"]["pixels"] = 128
+    cam = Camera(H=40, W=56, fx=30.0, fy=30.0, cx=27.5, cy=19.5)
+    bound = np.asarray(BOUND, np.float32)
+    layout_s = make_layout(jnp.asarray(bound), [0.48, 0.24], C_DIM)
+    layout_c = make_layout(jnp.asarray(bound), [0.48, 0.24], C_DIM)
+    scene = SceneGeometry(layout_s, layout_c,
+                          tuple(map(tuple, bound.tolist())),
+                          0.12, 8, 4, True)
+    key = jax.random.PRNGKey(3)
+    ms = init_map_state(key, layout_s, layout_c,
+                        init_decoder_params(key, c_dim=C_DIM))
+
+    w_max = 3
+    center = bound.mean(axis=1)
+    poses = jnp.zeros((w_max, 7)).at[:, 0].set(1.0).at[:, 4:].set(
+        jnp.asarray(center))
+    pose_mask = jnp.array([0.0, 1.0, 0.0])
+    slot_kf = jnp.array([0, 1, 0], jnp.int32)
+    kf_colors = jnp.full((3, cam.H, cam.W, 3), 0.5, jnp.float16)
+    kf_depths = jnp.full((3, cam.H, cam.W), 1.2, jnp.float32)
+    args = (poses, pose_mask, slot_kf, jnp.int32(2), kf_colors, kf_depths,
+            jax.random.PRNGKey(7))
+
+    out = {}
+    for n in (1, 4):
+        mesh = Mesh(np.array(jax.devices()[:n]), ("map",))
+        step, shard, unshard = make_sharded_mapper(
+            cfg, scene, cam, mesh, iters=3)
+        state = shard(ms)
+        state, poses_out, losses = step(state, *args)
+        ms_out = unshard(state, ms)
+        out[n] = (np.asarray(losses), np.asarray(ms_out.sdf_atlas),
+                  np.asarray(poses_out))
+    np.testing.assert_allclose(out[1][0], out[4][0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(out[1][1], out[4][1], rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(out[1][2], out[4][2], rtol=1e-4, atol=1e-5)
+    assert np.isfinite(out[4][0]).all()
