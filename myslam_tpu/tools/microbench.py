@@ -35,13 +35,12 @@ def main():
     parser.add_argument("--samples", type=int, default=40)
     args = parser.parse_args()
 
-    from myslam_tpu.engine.camera import Camera
     from myslam_tpu.engine.scheduler import compute_bound
     from myslam_tpu.models.decoders import init_decoder_params
     from myslam_tpu.models.planes import init_map_state, make_layout
     from myslam_tpu.ops.plane_sample import (
         corner_row_map, pack_quad, sample_quad_corners)
-    from myslam_tpu.models.decoders import decode_sdf_corners, decode_rgb_corners
+    from myslam_tpu.models.decoders import decode_sdf_corners
     from myslam_tpu.render.renderer import SceneGeometry, render_rays
     from myslam_tpu.utils.config import load_config
     import os

@@ -28,7 +28,7 @@ from scipy.spatial import ConvexHull
 
 from myslam_tpu.core.geometry import normalize_3d_coordinate
 from myslam_tpu.ops.marching import extract_isosurface
-from myslam_tpu.render.renderer import SceneGeometry, query_raw, query_sdf
+from myslam_tpu.render.renderer import SceneGeometry, query_sdf
 from myslam_tpu.utils.ply import write_ply
 
 
