@@ -30,7 +30,7 @@ from myslam_tpu.engine.keyframes import (
     make_window_selector,
 )
 from myslam_tpu.engine.mapper import make_mapper
-from myslam_tpu.engine.tracker import make_frame_tracker
+from myslam_tpu.engine.tracker import make_frame_tracker, make_group_tracker
 from myslam_tpu.models.decoders import init_decoder_params
 from myslam_tpu.models.planes import make_layout, init_map_state
 from myslam_tpu.render.renderer import SceneGeometry
@@ -153,6 +153,16 @@ class SLAMSystem:
 
         self.tracker = make_frame_tracker(cfg, self.scene, self.cam,
                                           ray_sharding=self.ray_sharding)
+        # Between two mapped frames the map is frozen, so the every_frame
+        # group of tracked frames fuses into ONE device program (quads
+        # packed once, one upload, one dispatch) — see make_group_tracker.
+        # The per-frame tracker remains for ragged tail groups.
+        self.group_tracker = None
+        if self.every_frame > 1 and not self.gt_camera:
+            self.group_tracker = make_group_tracker(
+                cfg, self.scene, self.cam, self.every_frame,
+                ray_sharding=self.ray_sharding)
+        self._track_buf: list = []
         # Mapper variants by importance-branch only: the first-frame and
         # steady schedules share each variant's compiled program (iteration
         # count is a host chunk loop; lr factor is traced).  The
@@ -385,6 +395,51 @@ class SLAMSystem:
         return cull_mesh(path, self.cfg, frames,
                          estimate_c2w_list=est_np[:upto])
 
+    def _maybe_track_vis(self, idx: int, pkt, c2w) -> None:
+        if idx % self.track_vis.freq == 0 and pkt.color_u8 is not None:
+            self.track_vis.save_imgs(
+                idx, 0,
+                pkt.depth_u16.astype(np.float32) * pkt.depth_inv_q,
+                pkt.color_u8.astype(np.float32) / 255.0,
+                c2w, self.map_state, self._next_key())
+
+    def _run_track_group(self, buf) -> None:
+        """Dispatch one fused tracking program for a full every_frame group
+        of buffered (idx, packet, metrics-record) triples."""
+        t0 = time.time()
+        idx0 = buf[0][0]
+        px_i = np.stack([p.px_i for _, p, _ in buf])
+        px_j = np.stack([p.px_j for _, p, _ in buf])
+        px_color = np.stack([p.px_color for _, p, _ in buf])
+        px_depth = np.stack([p.px_depth for _, p, _ in buf])
+        self._est_dev, c2ws, loss_first, loss_best = self.group_tracker(
+            self.map_state, self._est_dev, jnp.int32(idx0),
+            jnp.asarray(px_i), jnp.asarray(px_j), jnp.asarray(px_color),
+            jnp.asarray(px_depth), self._next_key())
+        ms_per_frame = (time.time() - t0) * 1e3 / len(buf)
+        for g, (idx, pkt, rec) in enumerate(buf):
+            rec["track_loss_first"] = loss_first[g]
+            rec["track_loss_best"] = loss_best[g]
+            rec["track_ms"] = ms_per_frame
+            self._maybe_track_vis(idx, pkt, c2ws[g])
+
+    def _flush_track_buf(self, open_rec: dict | None = None) -> None:
+        """Track all buffered frames (fused when the buffer is a full
+        group, per-frame otherwise), then emit their metrics records —
+        except ``open_rec``, the current frame's record, which its own
+        loop iteration finishes (mapping fields) and logs."""
+        buf, self._track_buf = self._track_buf, []
+        if not buf:
+            return
+        if self.group_tracker is not None and len(buf) == self.every_frame:
+            self._run_track_group(buf)
+        else:
+            for idx, pkt, rec in buf:
+                rec.update(self._track_frame(idx, pkt))
+        for _, _, rec in buf:
+            if rec is not open_rec:
+                self._log_metrics(rec)
+
     def _track_frame(self, idx: int, pkt) -> dict:
         t0 = time.time()
         # ONE device program: pose init + 8-iter optimization + trajectory
@@ -394,12 +449,7 @@ class SLAMSystem:
             jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
             jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth),
             self._next_key())
-        if idx % self.track_vis.freq == 0 and pkt.color_u8 is not None:
-            self.track_vis.save_imgs(
-                idx, 0,
-                pkt.depth_u16.astype(np.float32) * pkt.depth_inv_q,
-                pkt.color_u8.astype(np.float32) / 255.0,
-                c2w, self.map_state, self._next_key())
+        self._maybe_track_vis(idx, pkt, c2w)
         dt = time.time() - t0
         return {
             "track_loss_first": loss_first,
@@ -465,13 +515,24 @@ class SLAMSystem:
             self.gt_poses[idx] = gt_c2w
             rec = {"frame": idx}
 
+            deferred = False
             if idx == 0 or self.gt_camera:
                 self._est_dev = self._est_dev.at[idx].set(
                     jnp.asarray(gt_c2w))
+            elif self.group_tracker is not None:
+                # Tracking is deferred to the group flush at the next
+                # mapped frame; the map is frozen until then, so results
+                # are identical.
+                self._track_buf.append((idx, pkt, rec))
+                deferred = True
             else:
                 rec.update(self._track_frame(idx, pkt))
 
             if idx % self.every_frame == 0 or idx == self.n_img - 1:
+                # Tracking of this group (incl. this frame) must land in
+                # the trajectory before the BA window is assembled.
+                self._flush_track_buf(open_rec=rec)
+                deferred = False
                 # Stage the current frame into the scratch slot.
                 self.store.write_imagery_packed(
                     self.scratch_slot, jnp.asarray(pkt.color_u8),
@@ -483,16 +544,20 @@ class SLAMSystem:
                     self.on_map_done(self, idx)
 
             if idx == self.sync_after_frame:
+                self._flush_track_buf(open_rec=rec)
+                deferred = False
                 jax.block_until_ready(self._est_dev)
             rec["frame_ms"] = (time.time() - t_frame) * 1e3
             self.frame_times.append(time.time() - t_frame)
-            self._log_metrics(rec)
+            if not deferred:
+                self._log_metrics(rec)
             if self.verbose and idx % 50 == 0:
                 print(f"Frame {idx}/{self.n_img}  "
                       f"({idx / max(time.time() - t_start, 1e-9):.2f} fps)")
 
         # Drain the device queue so fps reflects completed work, then
         # finalize outputs.
+        self._flush_track_buf()
         jax.block_until_ready(self._est_dev)
         self.drain_wall = time.time()
         self._flush_metrics()

@@ -48,13 +48,15 @@ def constant_speed_init(
     return jnp.where(use_const_speed, extrapolated, prev)
 
 
-def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
-                 ray_sharding=None):
-    """Build the jitted per-frame tracking function.
+def make_track_core(cfg: dict, scene: SceneGeometry, cam: Camera,
+                    ray_sharding=None):
+    """Build the traceable per-frame optimization core.
 
-    Returns track(ms, pose_init7, px_i (iters,n), px_j (iters,n),
-                  px_color (iters,n,3) uint8, px_depth (iters,n), key)
-      -> (best_pose7, losses (iters,)).
+    Returns core(ms, quads, pose_init7, px_i (iters,n), px_j (iters,n),
+                 px_color (iters,n,3) uint8, px_depth (iters,n), key)
+      -> (best_pose7, losses (iters,)) — NOT jitted; callers embed it in
+    their own programs (one frame, or a whole every_frame group) with the
+    quad atlases packed once outside.
 
     The per-iteration pixel batches arrive pre-sampled from the host
     (datasets.build_packet) — only ~0.2 MB crosses the host-device link
@@ -119,17 +121,10 @@ def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
         loss = loss + w_depth * depth_loss(px_depth, depth, dmask)
         return loss
 
-    def track(ms: MapState, pose_init: jnp.ndarray,
-              px_i, px_j, px_color, px_depth, key):
+    def core(ms: MapState, quads, pose_init: jnp.ndarray,
+             px_i, px_j, px_color, px_depth, key):
         params0 = {"R": pose_init[:4], "T": pose_init[4:]}
         opt0 = optimizer.init(params0)
-        # The map is frozen for the whole per-frame optimization: pack the
-        # quad atlases once, outside the iteration scan — in bfloat16,
-        # halving the per-iteration gather traffic (the map receives no
-        # gradient here; feature rounding is ~0.4% relative).
-        qdtype = jnp.bfloat16 if map_bf16 else jnp.float32
-        quads = (pack_quad(ms.sdf_atlas, scene.sdf_layout).astype(qdtype),
-                 pack_quad(ms.color_atlas, scene.color_layout).astype(qdtype))
 
         def step(carry, xs):
             params, opt_state, best_loss, best_pose = carry
@@ -151,6 +146,31 @@ def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
             step, carry0, (jnp.arange(iters), px_i, px_j, px_color, px_depth)
         )
         return best_pose, losses
+
+    core.map_bf16 = map_bf16
+    return core
+
+
+def _pack_tracking_quads(ms: MapState, scene: SceneGeometry, map_bf16: bool):
+    """Quad atlases for a frozen-map optimization, packed once per program
+    — in bfloat16 by default, halving the per-iteration gather traffic
+    (the map receives no gradient here; feature rounding is ~0.4%
+    relative)."""
+    qdtype = jnp.bfloat16 if map_bf16 else jnp.float32
+    return (pack_quad(ms.sdf_atlas, scene.sdf_layout).astype(qdtype),
+            pack_quad(ms.color_atlas, scene.color_layout).astype(qdtype))
+
+
+def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
+                 ray_sharding=None):
+    """Jitted single-frame tracking: pack quads + optimization core."""
+    core = make_track_core(cfg, scene, cam, ray_sharding=ray_sharding)
+
+    def track(ms: MapState, pose_init: jnp.ndarray,
+              px_i, px_j, px_color, px_depth, key):
+        quads = _pack_tracking_quads(ms, scene, core.map_bf16)
+        return core(ms, quads, pose_init, px_i, px_j, px_color, px_depth,
+                    key)
 
     return jax.jit(track)
 
@@ -190,3 +210,66 @@ def make_frame_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
         return est_c2w, c2w, losses[0], jnp.min(losses)
 
     return jax.jit(track_frame, donate_argnums=(1,))
+
+
+def make_group_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
+                       group_size: int, ray_sharding=None):
+    """Track a whole ``every_frame`` group of frames as ONE device program.
+
+    Between two mapped frames the map snapshot is frozen (reference
+    interleave, src/Tracker.py:264-267), so the frames kE+1 .. (k+1)E all
+    optimize against identical plane atlases.  Fusing them into one
+    dispatch (a ``lax.scan`` over frames around the per-frame optimization
+    core) packs the quad atlases ONCE per group instead of once per frame
+    and replaces ~6 small host->device uploads + 1 dispatch per frame with
+    one batched upload + one dispatch per group — the per-operation tunnel
+    latency to a remote TPU is milliseconds each.
+
+    Sequential semantics are preserved: frame g's constant-speed pose
+    initialization (src/Tracker.py:282-289) extrapolates from the poses
+    frames g-1 and g-2 of this same scan just produced.
+
+    Returns track_group(ms, est_c2w (n,4,4) [donated], idx0,
+                        px_i (G,iters,n), px_j, px_color (G,iters,n,3) u8,
+                        px_depth (G,iters,n), key)
+      -> (est_c2w', c2ws (G,4,4), loss_first (G,), loss_best (G,))
+    where idx0 is the first tracked frame of the group (>= 1).
+    """
+    from myslam_tpu.core.quaternion import matrix_to_cam_pose
+
+    const_speed = bool(cfg["tracking"].get("const_speed_assumption", True))
+    core = make_track_core(cfg, scene, cam, ray_sharding=ray_sharding)
+    G = int(group_size)
+
+    def track_group(ms: MapState, est_c2w, idx0, px_i, px_j, px_color,
+                    px_depth, key):
+        quads = _pack_tracking_quads(ms, scene, core.map_bf16)
+        prev0 = matrix_to_cam_pose(est_c2w[idx0 - 1][None])[0]
+        prev_prev0 = matrix_to_cam_pose(
+            est_c2w[jnp.maximum(idx0 - 2, 0)][None])[0]
+        # Frame 1 has no two predecessors; degrade to prev (idx0 >= 1).
+        prev_prev0 = jnp.where(idx0 >= 2, prev_prev0, prev0)
+
+        def step(carry, xs):
+            prev, prev_prev = carry
+            idx, i, j, col, dep = xs
+            if const_speed:
+                pose_init = 2.0 * prev - prev_prev
+            else:
+                pose_init = prev
+            best_pose, losses = core(
+                ms, quads, pose_init, i, j, col, dep,
+                jax.random.fold_in(key, idx))
+            return (best_pose, prev), (best_pose, losses[0],
+                                       jnp.min(losses))
+
+        idxs = idx0 + jnp.arange(G)
+        (_, _), (poses, loss_first, loss_best) = jax.lax.scan(
+            step, (prev0, prev_prev0), (idxs, px_i, px_j, px_color,
+                                        px_depth))
+        c2ws = cam_pose_to_matrix(poses)  # (G, 4, 4)
+        est_c2w = jax.lax.dynamic_update_slice(
+            est_c2w, c2ws, (idx0, jnp.int32(0), jnp.int32(0)))
+        return est_c2w, c2ws, loss_first, loss_best
+
+    return jax.jit(track_group, donate_argnums=(1,))
