@@ -408,14 +408,15 @@ class SLAMSystem:
         of buffered (idx, packet, metrics-record) triples."""
         t0 = time.time()
         idx0 = buf[0][0]
-        px_i = np.stack([p.px_i for _, p, _ in buf])
-        px_j = np.stack([p.px_j for _, p, _ in buf])
-        px_color = np.stack([p.px_color for _, p, _ in buf])
-        px_depth = np.stack([p.px_depth for _, p, _ in buf])
+        # jnp.stack: packets are already device-resident (staged by the
+        # prefetch thread), so the group batch assembles on device.
+        px_i = jnp.stack([jnp.asarray(p.px_i) for _, p, _ in buf])
+        px_j = jnp.stack([jnp.asarray(p.px_j) for _, p, _ in buf])
+        px_color = jnp.stack([jnp.asarray(p.px_color) for _, p, _ in buf])
+        px_depth = jnp.stack([jnp.asarray(p.px_depth) for _, p, _ in buf])
         self._est_dev, c2ws, loss_first, loss_best = self.group_tracker(
             self.map_state, self._est_dev, jnp.int32(idx0),
-            jnp.asarray(px_i), jnp.asarray(px_j), jnp.asarray(px_color),
-            jnp.asarray(px_depth), self._next_key())
+            px_i, px_j, px_color, px_depth, self._next_key())
         ms_per_frame = (time.time() - t0) * 1e3 / len(buf)
         for g, (idx, pkt, rec) in enumerate(buf):
             rec["track_loss_first"] = loss_first[g]
@@ -502,7 +503,8 @@ class SLAMSystem:
 
     def run(self, start_idx: int = 0) -> None:
         prefetch = PacketPrefetcher(
-            self.dataset, range(start_idx, self.n_img), self._make_packet)
+            self.dataset, range(start_idx, self.n_img), self._make_packet,
+            stage=True)
         self.warmup()
         t_start = time.time()
         for idx, pkt in prefetch:

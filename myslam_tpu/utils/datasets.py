@@ -512,21 +512,47 @@ def build_packet(dataset, idx: int, *, iters: int, n_px: int,
         inv_q, has_depthless)
 
 
+def stage_packet(pkt: FramePacket) -> FramePacket:
+    """Start the packet's host->device uploads (in place).
+
+    ``jax.device_put`` returns immediately; issuing it from the prefetch
+    thread, frames ahead of the SLAM loop, overlaps the tunnel transfer
+    (~30 MB/s; 4 MB of imagery per mapped frame) with device compute of
+    earlier frames instead of serializing inside the loop.  Consumers'
+    ``jnp.asarray`` on an already-device array is a no-op.
+    """
+    import jax
+
+    pkt.px_i = jax.device_put(pkt.px_i)
+    pkt.px_j = jax.device_put(pkt.px_j)
+    pkt.px_color = jax.device_put(pkt.px_color)
+    pkt.px_depth = jax.device_put(pkt.px_depth)
+    if pkt.color_u8 is not None:
+        pkt.color_u8 = jax.device_put(pkt.color_u8)
+        pkt.depth_u16 = jax.device_put(pkt.depth_u16)
+    return pkt
+
+
 class PacketPrefetcher:
     """Background thread building FramePackets ahead of the SLAM loop."""
 
-    def __init__(self, dataset, indices, make_packet, depth: int = 4):
+    def __init__(self, dataset, indices, make_packet, depth: int = 4,
+                 stage: bool = False):
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.indices = list(indices)
         self.dataset = dataset
         self.make_packet = make_packet
+        self.stage = stage
         self.thread = threading.Thread(target=self._work, daemon=True)
         self.thread.start()
 
     def _work(self):
         try:
             for idx in self.indices:
-                self.q.put((idx, self.make_packet(self.dataset, idx)))
+                pkt = self.make_packet(self.dataset, idx)
+                if self.stage:
+                    pkt = stage_packet(pkt)
+                self.q.put((idx, pkt))
             self.q.put(None)
         except Exception as e:  # surface loader errors to the consumer
             self.q.put(e)

@@ -27,8 +27,9 @@ import numpy as np
 from scipy.spatial import ConvexHull
 
 from myslam_tpu.core.geometry import normalize_3d_coordinate
-from myslam_tpu.ops.marching import extract_isosurface
-from myslam_tpu.render.renderer import SceneGeometry, query_sdf
+from myslam_tpu.ops.marching import extract_isosurface_device
+from myslam_tpu.ops.plane_sample import pack_quad
+from myslam_tpu.render.renderer import SceneGeometry, query_rgb, query_sdf
 from myslam_tpu.utils.ply import write_ply
 
 
@@ -117,36 +118,62 @@ class Mesher:
         self.points_batch_size = points_batch_size
         self.verbose = cfg.get("verbose", False)
 
-        # Vertex colors only need the color decoder path.
-        from myslam_tpu.render.renderer import query_rgb
+        # Vertex colors only need the color decoder path.  Chunked scan on
+        # device over the padded vertex buffer; colors return as uint8
+        # (3 B/vertex through the ~11 MB/s D2H tunnel vs 12 B as f32).
+        @partial(jax.jit, static_argnames=("n_chunks",))
+        def _rgb_u8(ms, pts_pad, n_chunks):
+            color_quad = pack_quad(
+                ms.color_atlas, self.scene.color_layout).astype(jnp.bfloat16)
 
-        def _rgb(ms, pts):
-            p_nor = normalize_3d_coordinate(
-                pts.reshape(-1, 3), self.scene.bound_array)
-            return query_rgb(ms, self.scene, p_nor)
+            def chunk(carry, p):
+                p_nor = normalize_3d_coordinate(p, self.scene.bound_array)
+                rgb = query_rgb(ms, self.scene, p_nor, color_quad)
+                return carry, jnp.clip(
+                    jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
 
-        self._query_rgb = jax.jit(_rgb)
+            _, out = jax.lax.scan(
+                chunk, 0, pts_pad.reshape(n_chunks, -1, 3))
+            return out.reshape(-1, 3)
+
+        self._rgb_u8 = _rgb_u8
 
         bound = self.scene.bound_array
 
-        @partial(jax.jit, static_argnames=("use_hull",))
-        def _slab_sdf(ms, xs_slab, ys_d, zs_d, A, b, use_hull):
-            g = jnp.stack(jnp.meshgrid(xs_slab, ys_d, zs_d, indexing="ij"),
-                          axis=-1).reshape(-1, 3)
-            # SDF only: the volume pass must not touch the (4x larger)
-            # color atlas (reference Mesher.py:146 likewise queries
-            # color only at the final vertices).
-            p_nor = normalize_3d_coordinate(
-                g.reshape(-1, 3), self.scene.bound_array)
-            sdf = query_sdf(ms, self.scene, p_nor)
-            inb = jnp.all((g > bound[:, 0]) & (g < bound[:, 1]), axis=-1)
-            if use_hull:
-                side = g @ A.T + b[None, :]
-                inb = inb & jnp.all(side <= 1e-6, axis=-1)
-            return jnp.where(inb, sdf, -1.0).reshape(
-                xs_slab.shape[0], ys_d.shape[0], zs_d.shape[0])
+        @partial(jax.jit, static_argnames=("use_hull", "n_slabs"))
+        def _build_volume(ms, xs_pad, ys_d, zs_d, A, b, use_hull, n_slabs):
+            """Dense SDF volume as ONE device program (scan over x-slabs);
+            out-of-hull / out-of-bound points forced to -1 (reference
+            Mesher.py:146-153, 210-217).  The volume stays on device — it
+            feeds the on-device isosurface extraction; a host round-trip
+            would cost ~17 s both ways through the tunnel at room scale.
 
-        self._slab_sdf = _slab_sdf
+            SDF only: the volume pass must not touch the (4x larger)
+            color atlas (reference Mesher.py:146 likewise queries color
+            only at the final vertices).  The quad atlas is packed once,
+            in bfloat16 (no gradients here), halving gather traffic.
+            """
+            sdf_quad = pack_quad(
+                ms.sdf_atlas, self.scene.sdf_layout).astype(jnp.bfloat16)
+
+            def slab(carry, xs_slab):
+                g = jnp.stack(
+                    jnp.meshgrid(xs_slab, ys_d, zs_d, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+                p_nor = normalize_3d_coordinate(g, self.scene.bound_array)
+                sdf = query_sdf(ms, self.scene, p_nor, sdf_quad)
+                inb = jnp.all((g > bound[:, 0]) & (g < bound[:, 1]), axis=-1)
+                if use_hull:
+                    side = g @ A.T + b[None, :]
+                    inb = inb & jnp.all(side <= 1e-6, axis=-1)
+                out = jnp.where(inb, sdf, -1.0)
+                return carry, out.reshape(
+                    xs_slab.shape[0], ys_d.shape[0], zs_d.shape[0])
+
+            _, vol = jax.lax.scan(slab, 0, xs_pad.reshape(n_slabs, -1))
+            return vol.reshape(-1, ys_d.shape[0], zs_d.shape[0])
+
+        self._build_volume = _build_volume
 
     def grid_axes(self):
         """Reference get_grid_uniform axes (Mesher.py:159-186): linspace
@@ -161,64 +188,66 @@ class Mesher:
         return axes
 
     def eval_sdf_volume(self, ms, hull: HullBound | None):
-        """Dense SDF volume over the grid; out-of-hull / out-of-bound
-        points forced to -1 (reference Mesher.py:146-153, 210-217)."""
+        """Dense SDF volume over the grid, DEVICE-resident; out-of-hull /
+        out-of-bound points forced to -1 (reference Mesher.py:146-153,
+        210-217).  Returns (device (nx, ny, nz) f32, (xs, ys, zs))."""
         xs, ys, zs = self.grid_axes()
         nx, ny, nz = len(xs), len(ys), len(zs)
-        bound = self.scene.bound_array
-        xs_d, ys_d, zs_d = map(jnp.asarray, (xs, ys, zs))
-
-        # chunk over x-slabs of the grid (padded to one fixed slab height
-        # so the query program compiles exactly once per grid shape)
-        vol = np.empty((nx, ny, nz), np.float32)
-        rows_per_slab = max(self.points_batch_size // (ny * nz), 1)
+        rows = max(self.points_batch_size // (ny * nz), 1)
+        n_slabs = -(-nx // rows)
+        xs_pad = np.concatenate(
+            [xs, np.full(n_slabs * rows - nx, xs[-1], np.float32)])
         if hull is None:
             A = jnp.zeros((1, 3), jnp.float32)
             b = jnp.zeros((1,), jnp.float32)
         else:
             A, b = hull.A, hull.b
-
-        for x0 in range(0, nx, rows_per_slab):
-            xs_slab = xs_d[x0:x0 + rows_per_slab]
-            n_rows = xs_slab.shape[0]
-            if n_rows < rows_per_slab:  # pad the last slab
-                xs_slab = jnp.concatenate(
-                    [xs_slab,
-                     jnp.full((rows_per_slab - n_rows,), xs_slab[-1])])
-            out = self._slab_sdf(ms, xs_slab, ys_d, zs_d, A, b,
-                                 use_hull=hull is not None)
-            vol[x0:x0 + n_rows] = np.asarray(out[:n_rows])
+        vol = self._build_volume(
+            ms, jnp.asarray(xs_pad), jnp.asarray(ys), jnp.asarray(zs),
+            A, b, use_hull=hull is not None, n_slabs=n_slabs)[:nx]
         return vol, (xs, ys, zs)
 
-    def vertex_colors(self, ms, vertices: np.ndarray) -> np.ndarray:
-        out = np.empty((len(vertices), 3), np.float32)
+    def vertex_colors_u8_device(self, ms, verts_dev) -> jnp.ndarray:
+        """uint8 vertex colors for a device (V, 3) WORLD-coordinate vertex
+        buffer (padded rows included; they cost nothing extra)."""
+        n = verts_dev.shape[0]
         B = min(self.points_batch_size, 1 << 20)
-        for i in range(0, len(vertices), B):
-            chunk = vertices[i:i + B]
-            n = len(chunk)
-            if n < B:  # pad so the query compiles for one shape
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
-            rgb = self._query_rgb(ms, jnp.asarray(chunk))
-            out[i:i + n] = np.asarray(rgb[:n])
-        return out
+        n_chunks = max(-(-n // B), 1)
+        pad = n_chunks * B - n
+        pts = jnp.concatenate(
+            [verts_dev, jnp.zeros((pad, 3), jnp.float32)], axis=0)
+        return self._rgb_u8(ms, pts, n_chunks=n_chunks)[:n]
 
     def get_mesh(self, out_file: str, ms, store, color: bool = True) -> str:
-        """Extract + save the mesh (reference Mesher.get_mesh)."""
+        """Extract + save the mesh (reference Mesher.get_mesh).
+
+        The entire pipeline — volume query, marching tetrahedra, vertex
+        weld, vertex colors — runs on device; the only D2H transfers are
+        the final compact arrays (verts f32, faces i32, colors u8).
+        """
         hull = None
         if store is not None and store.count > 0:
             pts = backproject_keyframes(store, self.cam)
             hull = HullBound(pts, self.mesh_bound_scale)
         vol, (xs, ys, zs) = self.eval_sdf_volume(ms, hull)
-        verts, faces = extract_isosurface(
-            vol, origin=[xs[0], ys[0], zs[0]],
-            spacing=[xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]],
-            level=self.level_set)
-        colors = self.vertex_colors(ms, verts) if (color and len(verts)) \
-            else None
-        verts_out = verts / self.scale
-        write_ply(out_file, verts_out, faces, colors)
+        verts_d, faces_d, n_verts, n_tris = extract_isosurface_device(
+            vol, level=self.level_set)
+        if n_tris == 0:
+            write_ply(out_file, np.zeros((0, 3), np.float32),
+                      np.zeros((0, 3), np.int32), None)
+            return out_file
+        origin = jnp.asarray([xs[0], ys[0], zs[0]], jnp.float32)
+        spacing = jnp.asarray(
+            [xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]], jnp.float32)
+        verts_world = origin + verts_d * spacing
+        colors = None
+        if color:
+            colors = np.asarray(
+                self.vertex_colors_u8_device(ms, verts_world))[:n_verts]
+        verts = np.asarray(verts_world)[:n_verts]
+        faces = np.asarray(faces_d)[:n_tris]
+        write_ply(out_file, verts / self.scale, faces, colors)
         if self.verbose:
-            print(f"Saved mesh ({len(verts)} verts, {len(faces)} faces) "
+            print(f"Saved mesh ({n_verts} verts, {n_tris} faces) "
                   f"at {out_file}")
         return out_file
