@@ -388,10 +388,14 @@ class SLAMSystem:
         """Extract the current mesh and cull it with frames [0, upto)."""
         from myslam_tpu.tools.cull_mesh import cull_mesh
 
+        from myslam_tpu.utils.datasets import Prefetcher
+
         self.mesher.get_mesh(path, self.map_state, self.store)
         est_np = self.estimates  # one device fetch
-        frames = ((self.dataset.get_frame(i)[1], est_np[i])
-                  for i in range(upto))
+        # Prefetch thread: frame loading (procedural datasets re-render
+        # depth on host) overlaps the per-frame device-side culling.
+        frames = ((d, est_np[idx]) for idx, (c, d, p) in
+                  Prefetcher(self.dataset, range(upto)))
         return cull_mesh(path, self.cfg, frames,
                          estimate_c2w_list=est_np[:upto])
 
