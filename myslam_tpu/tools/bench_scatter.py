@@ -22,16 +22,34 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # force completion through the remote tunnel with a tiny fetch
-    _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    """ms per op with the repetition INSIDE one program (a host-side call
+    loop would measure the remote tunnel's ~3-5 ms dispatch overhead, not
+    the device).  The op input is perturbed per iteration (rolled rows)
+    so XLA cannot hoist it out of the loop."""
+    cell, upd = args
+
+    @jax.jit
+    def repeat(cell, upd):
+        def body(i, acc):
+            out = fn(jnp.roll(cell, i), upd)
+            return acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    @jax.jit
+    def baseline(cell, upd):
+        def body(i, acc):
+            return acc + jnp.roll(cell, i)[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    _ = float(repeat(cell, upd))
+    _ = float(baseline(cell, upd))
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    return (time.time() - t0) / iters * 1e3
+    _ = float(repeat(cell, upd))
+    t_full = time.time() - t0
+    t0 = time.time()
+    _ = float(baseline(cell, upd))
+    t_base = time.time() - t0
+    return (t_full - t_base) / iters * 1e3
 
 
 def main():

@@ -85,3 +85,44 @@ def test_metrics_written(slam):
 def test_keyframes_admitted(slam):
     # frames 0,4,8 are mapped; keyframe_every=4 admits each
     assert slam.store.frame_ids == [0, 4, 8]
+
+
+def test_recon_metrics_against_analytic_gt(slam):
+    """Full reconstruction-eval protocol on the synthetic oracle: analytic
+    GT mesh -> frustum-cull both meshes -> accuracy/completion (reference
+    README.md:99-118 pipeline, dataset-free)."""
+    from myslam_tpu.tools.cull_mesh import cull_mesh
+    from myslam_tpu.tools.eval_recon import calc_3d_metric
+    from myslam_tpu.utils.datasets import Prefetcher
+
+    import copy
+
+    raw = os.path.join(slam.output, "mesh", "final_mesh.ply")
+    assert os.path.exists(raw)
+    # Eval protocol (reference README.md:104-110): the rec mesh is culled
+    # with OCCLUSION (eval_rec) so unobservable regions (behind walls,
+    # sphere interiors) don't count against accuracy.
+    cfg_rec = copy.deepcopy(slam.cfg)
+    cfg_rec["meshing"]["eval_rec"] = True
+    frames = ((d, p) for _, (c, d, p) in
+              Prefetcher(slam.dataset, range(slam.n_img)))
+    rec = cull_mesh(raw, cfg_rec, frames,
+                    out_file=os.path.join(slam.output, "rec_eval.ply"))
+    gt = os.path.join(slam.output, "gt_mesh.ply")
+    slam.dataset.save_gt_mesh(gt, resolution=0.02)
+    frames = ((d, p) for _, (c, d, p) in
+              Prefetcher(slam.dataset, range(slam.n_img)))
+    gt_culled = cull_mesh(gt, slam.cfg, frames)
+    m = calc_3d_metric(rec, gt_culled, align=False, num_points=50_000)
+    # Observed GT surface is covered to centimetres.
+    assert m["completion_cm"] < 6.0, m
+    assert m["completion_ratio_pct"] > 70.0, m
+    # Accuracy via the analytic oracle, MEDIAN-based: a 9-frame smoke map
+    # legitimately grows free-space floaters in barely-supervised regions
+    # (mean accuracy is dominated by them at this scale; full-length runs
+    # train them away), but the observed surface itself must be tight.
+    from myslam_tpu.utils.ply import read_ply
+
+    v, _, _ = read_ply(rec)
+    dist = np.abs(slam.dataset.gt_sdf(v))
+    assert np.median(dist) < 0.02, np.median(dist)
