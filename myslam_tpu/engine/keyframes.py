@@ -114,6 +114,17 @@ class KeyframeStore:
         self.count += 1
         return pos
 
+    def note_admitted(self, frame_id: int, has_depthless: bool = True) -> int:
+        """Record a keyframe whose buffers a device program already wrote
+        at slot ``count`` (fused admission, engine/mapper.make_frame_mapper)."""
+        if self.count >= self.capacity:
+            raise RuntimeError("keyframe store full")
+        pos = self.count
+        self.has_depthless[pos] = bool(has_depthless)
+        self.frame_ids.append(int(frame_id))
+        self.count += 1
+        return pos
+
     def set_est_poses(self, slots: np.ndarray, poses: jnp.ndarray) -> None:
         """Write optimized c2w matrices back for the given slots."""
         self.est_c2w = self.est_c2w.at[jnp.asarray(slots)].set(poses)

@@ -33,27 +33,12 @@ from myslam_tpu.models.planes import MapState
 from myslam_tpu.render.renderer import SceneGeometry, render_rays
 
 
-def make_mapper(
-    cfg: dict,
-    scene: SceneGeometry,
-    cam: Camera,
-    ray_sharding=None,
-    importance: bool = True,
-):
-    """Build a jitted mapping step.
-
-    One compiled program covers both of the reference's schedules —
-    (iters_first, lr_first_factor) for frame 0 and (iters, lr_factor)
-    afterwards (src/Mapper.py:412-417): the iteration count is a host
-    loop over fixed-size chunks, and the lr factor rides in as a traced
-    scale on the Adam updates (Adam's update is -lr*m_hat/sqrt(v_hat), so
-    scaling the update by f is exactly adam(lr*f)).
-
-    Returns map_step(ms, poses7 (W,7), pose_mask (W,), slot_kf (W,),
-                     n_slots, kf_colors, kf_depths, key, *,
-                     iters, lr_factor)
-      -> (ms, poses7, losses (iters,))
-    """
+def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
+                ray_sharding=None, importance: bool = True):
+    """Shared mapping internals: the per-iteration loss and the
+    multi-transform optimizer (reference LR groups, src/Mapper.py:291-306).
+    Used by both make_mapper (bare BA step) and make_frame_mapper (the
+    whole mapped frame as one program)."""
     m = cfg["mapping"]
     n_rays = int(m["pixels"])
     w_color, w_depth = float(m["w_color"]), float(m["w_depth"])
@@ -148,6 +133,62 @@ def make_mapper(
         loss = loss + w_depth * depth_loss(px_depth, depth, dmask)
         return loss
 
+    return loss_fn, optimizer
+
+
+def _scan_steps(loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
+                n_slots, kf_colors, kf_depths, key, start, lr_scale,
+                chunk: int):
+    """``chunk`` optimization iterations as one lax.scan."""
+
+    def step(carry, it):
+        params, opt_state = carry
+        k = jax.random.fold_in(key, it)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, pose_mask, slot_kf, n_slots, kf_colors, kf_depths, k
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        # Traced lr factor: scales the map groups' updates (the pose
+        # group's lr has no factor in the reference, Mapper.py:291-306).
+        updates = {
+            "map": jax.tree_util.tree_map(
+                lambda u: u * lr_scale, updates["map"]),
+            "poses": updates["poses"],
+        }
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        step, (params, opt_state), start + jnp.arange(chunk)
+    )
+    return params, opt_state, losses
+
+
+def make_mapper(
+    cfg: dict,
+    scene: SceneGeometry,
+    cam: Camera,
+    ray_sharding=None,
+    importance: bool = True,
+):
+    """Build a jitted mapping step (bare BA: window described by caller).
+
+    One compiled program covers both of the reference's schedules —
+    (iters_first, lr_first_factor) for frame 0 and (iters, lr_factor)
+    afterwards (src/Mapper.py:412-417): the iteration count is a host
+    loop over fixed-size chunks, and the lr factor rides in as a traced
+    scale on the Adam updates (Adam's update is -lr*m_hat/sqrt(v_hat), so
+    scaling the update by f is exactly adam(lr*f)).
+
+    Returns map_step(ms, poses7 (W,7), pose_mask (W,), slot_kf (W,),
+                     n_slots, kf_colors, kf_depths, key, *,
+                     iters, lr_factor)
+      -> (ms, poses7, losses (iters,))
+    """
+    m = cfg["mapping"]
+    loss_fn, optimizer = _build_core(
+        cfg, scene, cam, ray_sharding=ray_sharding, importance=importance)
+
     def run_chunk(
         params,
         opt_state,
@@ -161,27 +202,9 @@ def make_mapper(
         lr_scale: jnp.ndarray,
         chunk: int,
     ):
-        def step(carry, it):
-            params, opt_state = carry
-            k = jax.random.fold_in(key, it)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, pose_mask, slot_kf, n_slots, kf_colors, kf_depths, k
-            )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            # Traced lr factor: scales the map groups' updates (the pose
-            # group's lr has no factor in the reference, Mapper.py:291-306).
-            updates = {
-                "map": jax.tree_util.tree_map(
-                    lambda u: u * lr_scale, updates["map"]),
-                "poses": updates["poses"],
-            }
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), start + jnp.arange(chunk)
-        )
-        return params, opt_state, losses
+        return _scan_steps(
+            loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
+            n_slots, kf_colors, kf_depths, key, start, lr_scale, chunk)
 
     # The optimization is executed in bounded-duration device programs
     # (<= chunk_iters iterations each) with the Adam state carried across
@@ -237,3 +260,137 @@ def make_mapper(
     map_step.jit_init = jit_init
     map_step.chunk_iters = chunk_iters
     return map_step
+
+
+def make_frame_mapper(
+    cfg: dict,
+    scene: SceneGeometry,
+    cam: Camera,
+    selector,
+    w_max: int,
+    scratch_slot: int,
+    ray_sharding=None,
+    importance: bool = True,
+):
+    """The WHOLE mapped frame as one device program (per iteration chunk).
+
+    Everything the scheduler used to dispatch separately per mapped frame
+    — scratch-imagery dequantization, BA-window selection + pose assembly,
+    optimizer init, the iteration scan, the masked pose write-back, and
+    keyframe admission — fuses into a single jit with donated buffers.
+    On a remote device each extra dispatch costs ~3-5 ms of tunnel
+    latency; this cuts ~7 dispatches per mapped frame to 1 in the steady
+    schedule.
+
+    Selection/init run under ``start == 0`` (lax.cond); write-back and
+    admission run after every chunk, masked — they are idempotent, so
+    multi-chunk first-frame schedules just rewrite the same values.
+
+    Returns map_frame(ms, opt_buf, est_dev, kf_est, kf_gt, kf_colors,
+                      kf_depths, scr_color_u8, scr_depth_u16, inv_q,
+                      gt_c2w, idx, count, key, *, iters, lr_factor,
+                      joint_opt, admit)
+      -> (ms, opt_buf, est_dev, kf_est, kf_gt, kf_colors, kf_depths,
+          losses (iters,))
+    where opt_buf is a correctly-shaped optimizer-state pytree whose
+    VALUES are ignored (the init branch overwrites them); callers keep it
+    alive across mapped frames (donated through every call).
+    """
+    from myslam_tpu.core.quaternion import matrix_to_cam_pose
+
+    m = cfg["mapping"]
+    loss_fn, optimizer = _build_core(
+        cfg, scene, cam, ray_sharding=ray_sharding, importance=importance)
+
+    def run_chunk(params, opt_state, sel, est_dev, kf_est, kf_gt,
+                  kf_colors, kf_depths, scr_color_u8, scr_depth_u16,
+                  inv_q, gt_c2w, idx, count, key, start, lr_scale,
+                  joint_opt, admit, chunk: int):
+        def init_fn(op):
+            params, opt_state, sel, kf_colors, kf_depths = op
+            kf_colors = kf_colors.at[scratch_slot].set(
+                (scr_color_u8.astype(jnp.float32) * (1.0 / 255.0)
+                 ).astype(kf_colors.dtype))
+            kf_depths = kf_depths.at[scratch_slot].set(
+                scr_depth_u16.astype(jnp.float32) * inv_q)
+            cur_c2w = est_dev[idx]
+            slot_kf, n_slots, pose_mask = selector(
+                kf_est, count, cur_c2w, kf_depths[scratch_slot],
+                jax.random.fold_in(key, 0x7FFFFFFF), joint_opt)
+            c2ws = kf_est[slot_kf]  # (w_max, 4, 4)
+            is_cur = jnp.arange(w_max) == n_slots - 1
+            c2ws = jnp.where(is_cur[:, None, None], cur_c2w[None], c2ws)
+            params = {"map": params["map"],
+                      "poses": matrix_to_cam_pose(c2ws)}
+            opt_state = optimizer.init(params)
+            return params, opt_state, (slot_kf, n_slots, pose_mask), \
+                kf_colors, kf_depths
+
+        params, opt_state, sel, kf_colors, kf_depths = jax.lax.cond(
+            start == 0, init_fn, lambda op: op,
+            (params, opt_state, sel, kf_colors, kf_depths))
+        slot_kf, n_slots, pose_mask = sel
+
+        params, opt_state, losses = _scan_steps(
+            loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
+            n_slots, kf_colors, kf_depths, key, start, lr_scale, chunk)
+
+        # Masked pose write-back (reference Mapper.py:352-364,425-426:
+        # keyframe entries for optimized window slots; the trajectory only
+        # for the current frame, only under joint_opt).
+        c2ws_out = cam_pose_to_matrix(params["poses"])  # (w_max, 4, 4)
+        old = kf_est[slot_kf]
+        kf_est = kf_est.at[slot_kf].set(
+            jnp.where(pose_mask[:, None, None] > 0, c2ws_out, old))
+        cur = c2ws_out[n_slots - 1]
+        est_dev = est_dev.at[idx].set(
+            jnp.where(joint_opt > 0, cur, est_dev[idx]))
+
+        # Keyframe admission (reference Mapper.py:429-432): copy the
+        # scratch slot's imagery/poses into slot ``count``.  When not
+        # admitting, dst == scratch: a harmless self-rewrite.
+        dst = jnp.where(admit > 0, count, scratch_slot)
+        kf_colors = kf_colors.at[dst].set(kf_colors[scratch_slot])
+        kf_depths = kf_depths.at[dst].set(kf_depths[scratch_slot])
+        kf_est = kf_est.at[dst].set(est_dev[idx])
+        kf_gt = kf_gt.at[dst].set(gt_c2w)
+        return (params, opt_state, sel, est_dev, kf_est, kf_gt,
+                kf_colors, kf_depths, losses)
+
+    chunk_iters = int(m.get("chunk_iters", 0)) or int(m["iters"])
+    jit_chunk = jax.jit(
+        run_chunk, static_argnames=("chunk",),
+        donate_argnums=(0, 1, 3, 4, 5, 6, 7))
+    jit_init = jax.jit(optimizer.init)
+
+    def map_frame(ms, opt_buf, est_dev, kf_est, kf_gt, kf_colors,
+                  kf_depths, scr_color_u8, scr_depth_u16, inv_q, gt_c2w,
+                  idx, count, key, *, iters: int, lr_factor: float,
+                  joint_opt: bool, admit: bool):
+        params = {"map": ms, "poses": jnp.zeros((w_max, 7), jnp.float32)}
+        sel = (jnp.zeros((w_max,), jnp.int32), jnp.int32(1),
+               jnp.zeros((w_max,), jnp.float32))
+        lr_scale = jnp.float32(lr_factor)
+        jo = jnp.float32(1.0 if joint_opt else 0.0)
+        ad = jnp.float32(1.0 if admit else 0.0)
+        losses = []
+        done = 0
+        while done < iters:
+            n = min(chunk_iters, iters - done)
+            (params, opt_buf, sel, est_dev, kf_est, kf_gt, kf_colors,
+             kf_depths, chunk_losses) = jit_chunk(
+                params, opt_buf, sel, est_dev, kf_est, kf_gt, kf_colors,
+                kf_depths, scr_color_u8, scr_depth_u16,
+                jnp.float32(inv_q), gt_c2w, jnp.int32(idx),
+                jnp.int32(count), key, jnp.int32(done), lr_scale, jo, ad,
+                chunk=n)
+            losses.append(chunk_losses)
+            done += n
+        all_losses = (losses[0] if len(losses) == 1
+                      else jnp.concatenate(losses, axis=0))
+        return (params["map"], opt_buf, est_dev, kf_est, kf_gt, kf_colors,
+                kf_depths, all_losses)
+
+    map_frame.jit_init = jit_init
+    map_frame.chunk_iters = chunk_iters
+    return map_frame

@@ -23,13 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from myslam_tpu.core.quaternion import cam_pose_to_matrix, matrix_to_cam_pose
 from myslam_tpu.engine.camera import Camera
 from myslam_tpu.engine.keyframes import (
     KeyframeStore,
     make_window_selector,
 )
-from myslam_tpu.engine.mapper import make_mapper
+from myslam_tpu.engine.mapper import make_frame_mapper
 from myslam_tpu.engine.tracker import make_frame_tracker, make_group_tracker
 from myslam_tpu.models.decoders import init_decoder_params
 from myslam_tpu.models.planes import make_layout, init_map_state
@@ -163,16 +162,6 @@ class SLAMSystem:
                 cfg, self.scene, self.cam, self.every_frame,
                 ray_sharding=self.ray_sharding)
         self._track_buf: list = []
-        # Mapper variants by importance-branch only: the first-frame and
-        # steady schedules share each variant's compiled program (iteration
-        # count is a host chunk loop; lr factor is traced).  The
-        # importance-free variant is used whenever no stored frame has
-        # depth holes.
-        self._mappers = {}
-        for imp in (False, True):
-            self._mappers[imp] = make_mapper(
-                cfg, self.scene, self.cam,
-                importance=imp, ray_sharding=self.ray_sharding)
         self._iters_first = int(m["iters_first"])
         self._iters = int(m["iters"])
         self._lr_first_factor = float(m["lr_first_factor"])
@@ -180,44 +169,22 @@ class SLAMSystem:
         self._select_window = make_window_selector(
             self.cam, self.store.capacity, self.window_size, self.w_max,
             self.scratch_slot, method=self.keyframe_selection_method)
-
-        w_max = self.w_max
-        select_fn = self._select_window
-        scratch_slot = self.scratch_slot
-
-        @jax.jit
-        def _prepare_window(kf_est, est_poses, kf_depths, count, idx, key,
-                            joint_opt):
-            """BA-window preparation as ONE device program: overlap-scored
-            slot selection, pose-mask construction, and (W_MAX, 7) window
-            pose assembly (keyframe store poses; the current frame's
-            estimate in the last active slot)."""
-            cur_c2w = est_poses[idx]
-            slot_kf, n_slots, pose_mask = select_fn(
-                kf_est, count, cur_c2w, kf_depths[scratch_slot], key,
-                joint_opt)
-            c2ws = kf_est[slot_kf]  # (W_MAX, 4, 4)
-            is_cur = jnp.arange(w_max) == n_slots - 1
-            c2ws = jnp.where(is_cur[:, None, None], cur_c2w[None], c2ws)
-            return slot_kf, n_slots, pose_mask, matrix_to_cam_pose(c2ws)
-
-        @jax.jit
-        def _pose_writeback(kf_est, est_dev, poses_out, slot_kf, write_mask,
-                            idx, cur_pos):
-            """Fixed-shape post-BA pose write-back (one program, no
-            per-window-size recompiles): optimized window poses scatter
-            into the keyframe store where write_mask=1 (frozen/padded
-            slots rewrite their existing value), and the current frame's
-            pose lands in the trajectory at idx."""
-            c2ws = cam_pose_to_matrix(poses_out)  # (W_MAX, 4, 4)
-            old = kf_est[slot_kf]
-            new = jnp.where(write_mask[:, None, None] > 0, c2ws, old)
-            kf_est = kf_est.at[slot_kf].set(new)
-            est_dev = est_dev.at[idx].set(c2ws[cur_pos])
-            return kf_est, est_dev
-
-        self._prepare_window = _prepare_window
-        self._pose_writeback = _pose_writeback
+        # Mapper variants by importance-branch only: the first-frame and
+        # steady schedules share each variant's compiled program (iteration
+        # count is a host chunk loop; lr factor is traced).  The
+        # importance-free variant is used whenever no stored frame has
+        # depth holes.  Each variant is the WHOLE mapped frame fused into
+        # one program per chunk (selection, iterations, write-back,
+        # admission) — see make_frame_mapper.
+        self._mappers = {}
+        for imp in (False, True):
+            self._mappers[imp] = make_frame_mapper(
+                cfg, self.scene, self.cam, self._select_window,
+                self.w_max, self.scratch_slot,
+                importance=imp, ray_sharding=self.ray_sharding)
+        # Optimizer-state buffer reused (donated) across mapped frames;
+        # values are overwritten by each frame's in-program init.
+        self._opt_buf = None
 
         # Estimated trajectory lives ON DEVICE: per-frame pose writes,
         # tracking initialization and BA window assembly never round-trip
@@ -303,19 +270,15 @@ class SLAMSystem:
         self._metrics_f.flush()
         self._pending_metrics = []
 
-    def _map_frame(self, idx: int, gt_c2w: np.ndarray,
-                   first: bool, cur_has_depthless: bool) -> dict:
-        """Run one mapping/BA step on frame idx.  The current frame's
-        imagery must already be staged in the store's scratch slot; its
-        estimated pose is in self._est_dev[idx]."""
+    def _map_frame(self, idx: int, pkt, first: bool,
+                   cur_has_depthless: bool) -> dict:
+        """Run one mapped frame (selection + BA + write-back + admission)
+        as one fused device program per chunk.  The frame's imagery rides
+        in as the packet's staged uint8/uint16 arrays; its estimated pose
+        is in self._est_dev[idx]."""
         t0 = time.time()
         joint_opt = self.joint_opt_enabled and (self.store.count > 4)
-        # Window selection + pose assembly: one device program, no fetch.
-        slot_kf_dev, n_slots, pose_mask, poses_pad = self._prepare_window(
-            self.store.est_c2w, self._est_dev, self.store.depths,
-            jnp.int32(self.store.count), jnp.int32(idx), self._next_key(),
-            jnp.float32(1.0 if joint_opt else 0.0))
-
+        admit = idx % self.keyframe_every == 0
         # Conservative (host-known): importance is needed if ANY stored
         # keyframe has depth holes.  For windows that happen to contain
         # only hole-free frames this costs the coarse pass but changes no
@@ -323,34 +286,25 @@ class SLAMSystem:
         needs_importance = cur_has_depthless or any(
             self.store.has_depthless[:self.store.count])
         mapper = self._mappers[needs_importance]
-        self.map_state, poses_out, losses = mapper(
-            self.map_state,
-            poses_pad,
-            pose_mask,
-            slot_kf_dev,
-            n_slots,
-            self.store.colors,
-            self.store.depths,
+        if self._opt_buf is None:
+            self._opt_buf = mapper.jit_init(
+                {"map": self.map_state,
+                 "poses": jnp.zeros((self.w_max, 7), jnp.float32)})
+        (self.map_state, self._opt_buf, self._est_dev, self.store.est_c2w,
+         self.store.gt_c2w, self.store.colors, self.store.depths,
+         losses) = mapper(
+            self.map_state, self._opt_buf, self._est_dev,
+            self.store.est_c2w, self.store.gt_c2w, self.store.colors,
+            self.store.depths, jnp.asarray(pkt.color_u8),
+            jnp.asarray(pkt.depth_u16), pkt.depth_inv_q,
+            jnp.asarray(pkt.gt_c2w), idx, self.store.count,
             self._next_key(),
             iters=self._iters_first if first else self._iters,
             lr_factor=self._lr_first_factor if first else self._lr_factor,
-        )
-
-        if joint_opt:
-            # Keyframe entries (all but the frozen oldest) get their
-            # optimized poses; the current frame updates the trajectory.
-            self.store.est_c2w, self._est_dev = self._pose_writeback(
-                self.store.est_c2w, self._est_dev, poses_out,
-                slot_kf_dev, pose_mask, jnp.int32(idx),
-                n_slots - 1)
-
-        # Keyframe admission (after optimization, reference Mapper.py:429):
-        # device-side copy out of the scratch slot.
-        if idx % self.keyframe_every == 0:
-            self.store.add_from_slot(
-                idx, self.scratch_slot,
-                self._est_dev[idx], jnp.asarray(gt_c2w),
-                has_depthless=cur_has_depthless)
+            joint_opt=joint_opt, admit=admit)
+        if admit:
+            # Buffers were written by the device program; record the slot.
+            self.store.note_admitted(idx, has_depthless=cur_has_depthless)
 
         dt = time.time() - t0
 
@@ -493,17 +447,13 @@ class SLAMSystem:
             need_full=self._needs_full(idx), seed=self.seed)
 
     def warmup(self) -> None:
-        """Pre-compile the small per-frame helper programs so no compile
-        stall lands mid-run (the window selector first runs at the 4th
-        mapped frame, pose write-back when joint_opt first activates)."""
-        k = jax.random.PRNGKey(0)
-        slot_kf, n_slots, pose_mask, poses_pad = self._prepare_window(
-            self.store.est_c2w, self._est_dev, self.store.depths,
-            jnp.int32(0), jnp.int32(0), k, jnp.float32(0.0))
-        wb = self._pose_writeback(
-            self.store.est_c2w, self._est_dev, poses_pad, slot_kf,
-            pose_mask, jnp.int32(0), n_slots - 1)  # results discarded
-        jax.block_until_ready(wb)
+        """Allocate the cross-frame optimizer buffer ahead of the loop
+        (the mapped-frame program itself compiles at frame 0, inside the
+        benchmark's warmup window)."""
+        if self._opt_buf is None:
+            self._opt_buf = self._mappers[True].jit_init(
+                {"map": self.map_state,
+                 "poses": jnp.zeros((self.w_max, 7), jnp.float32)})
 
     def run(self, start_idx: int = 0) -> None:
         prefetch = PacketPrefetcher(
@@ -539,12 +489,8 @@ class SLAMSystem:
                 # the trajectory before the BA window is assembled.
                 self._flush_track_buf(open_rec=rec)
                 deferred = False
-                # Stage the current frame into the scratch slot.
-                self.store.write_imagery_packed(
-                    self.scratch_slot, jnp.asarray(pkt.color_u8),
-                    jnp.asarray(pkt.depth_u16), pkt.depth_inv_q)
                 rec.update(self._map_frame(
-                    idx, gt_c2w, first=(idx == 0),
+                    idx, pkt, first=(idx == 0),
                     cur_has_depthless=pkt.has_depthless))
                 if self.on_map_done is not None:
                     self.on_map_done(self, idx)

@@ -50,9 +50,6 @@ _TETS = np.array([
 _TET_EDGES = np.array(
     [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int32)
 
-_SENTINEL = np.int32(2**31 - 1)
-
-
 def _build_tet_table() -> np.ndarray:
     """(16, 6) triangle table: up to 2 triangles as edge ids, -1 padded."""
     def eid(a, b):
@@ -200,12 +197,11 @@ def _extract_weld(vol, level, sx: int, nxp: int, tet_cap: int, f_cap: int,
     dir_vec = jnp.asarray(_DIR_VEC)      # (8, 3)
     tet_table = jnp.asarray(_TET_TABLE)  # (16, 6)
 
-    kn0 = jnp.full((3 * f_cap,), _SENTINEL, jnp.int32)
-    kc0 = jnp.zeros((3 * f_cap,), jnp.int32)
+    kn0 = jnp.full((3 * f_cap,), 0xFFFFFFFF, jnp.uint32)
     pos0 = jnp.zeros((3 * f_cap, 3), jnp.float32)
 
     def slab(carry, s):
-        kn, kc, pos_buf, ptr = carry
+        kn, pos_buf, ptr = carry
         tet_vals, case = _slab_cases(vol_p, s, sx, level)
         active = (case > 0) & (case < 15)
         flat = active.reshape(-1)  # (6*ncell,) tet-major
@@ -229,16 +225,19 @@ def _extract_weld(vol, level, sx: int, nxp: int, tet_cap: int, f_cap: int,
 
         lo = edge_lo[sel_tet]                      # (T, 6, 3)
         node = cell[:, None, :] + lo               # (T, 6, 3)
-        node_id = ((node[..., 0] * ny + node[..., 1]) * nz
-                   + node[..., 2]).astype(jnp.int32)  # (T, 6)
+        # Edge identity as ONE uint32: node_id * 8 + direction code.
+        # Max value = nx*ny*nz*8 + 7; a Replica-scale 1 cm grid (~315M
+        # nodes) needs the unsigned range (2.5e9 < 2^32).
         code = edge_code[sel_tet]                  # (T, 6)
+        ekey = (((node[..., 0] * ny + node[..., 1]) * nz + node[..., 2]
+                 ).astype(jnp.uint32) * jnp.uint32(8)
+                + code.astype(jnp.uint32))         # (T, 6)
         tc = jnp.where(edge_swap[sel_tet], 1.0 - t, t)
         epos = node.astype(jnp.float32) + tc[..., None] * dir_vec[code]
 
         te = tet_table[sel_case]                   # (T, 6) edge ids, -1 pad
         tesafe = jnp.maximum(te, 0)
-        vkn = jnp.take_along_axis(node_id, tesafe, axis=1)   # (T, 6)
-        vkc = jnp.take_along_axis(code, tesafe, axis=1)
+        vkn = jnp.take_along_axis(ekey, tesafe, axis=1)      # (T, 6)
         vp = jnp.take_along_axis(epos, tesafe[..., None], axis=1)  # (T,6,3)
 
         tri_valid = jnp.stack([m, m & (te[:, 3] >= 0)], axis=1)  # (T, 2)
@@ -249,22 +248,20 @@ def _extract_weld(vol, level, sx: int, nxp: int, tet_cap: int, f_cap: int,
                  + jnp.arange(3, dtype=jnp.int32)).reshape(-1)  # (6T,)
 
         kn = kn.at[vslot].set(vkn.reshape(-1), mode="drop")
-        kc = kc.at[vslot].set(vkc.reshape(-1), mode="drop")
         pos_buf = pos_buf.at[vslot].set(vp.reshape(-1, 3), mode="drop")
         ptr = ptr + jnp.sum(tv, dtype=jnp.int32)
-        return (kn, kc, pos_buf, ptr), None
+        return (kn, pos_buf, ptr), None
 
-    (kn, kc, pos_buf, n_tris), _ = jax.lax.scan(
-        slab, (kn0, kc0, pos0, jnp.int32(0)),
+    (kn, pos_buf, n_tris), _ = jax.lax.scan(
+        slab, (kn0, pos0, jnp.int32(0)),
         jnp.arange(n_slabs, dtype=jnp.int32))
 
-    # ---- weld: two-key sort by (node id, direction code) ----
+    # ---- weld: sort by edge key (sentinel keys sink to the end) ----
     slot = jnp.arange(3 * f_cap, dtype=jnp.int32)
-    kn_s, kc_s, slot_s = jax.lax.sort((kn, kc, slot), num_keys=2)
-    real = kn_s != _SENTINEL
+    kn_s, slot_s = jax.lax.sort_key_val(kn, slot)
+    real = kn_s != jnp.uint32(0xFFFFFFFF)
     prev_differs = jnp.concatenate([
-        jnp.ones((1,), bool),
-        (kn_s[1:] != kn_s[:-1]) | (kc_s[1:] != kc_s[:-1])])
+        jnp.ones((1,), bool), kn_s[1:] != kn_s[:-1]])
     newv = prev_differs & real
     vid_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
     n_verts = jnp.sum(newv, dtype=jnp.int32)
