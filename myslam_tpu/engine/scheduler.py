@@ -203,7 +203,9 @@ class SLAMSystem:
         self.metrics_path = os.path.join(self.output, "metrics.jsonl")
         self._metrics_f = open(self.metrics_path, "a")
         self._pending_metrics: list[dict] = []
-        self.metrics_flush_every = 25
+        # Each flush costs one ~90 ms tunnel round-trip for the batched
+        # scalar fetch; amortize it over many frames.
+        self.metrics_flush_every = 200
 
         self.mesher = Mesher(cfg, self.scene, self.cam)
         self.mesh_freq = int(m["mesh_freq"])
@@ -243,7 +245,11 @@ class SLAMSystem:
         return sub
 
     def _log_metrics(self, record: dict) -> None:
-        """Queue a metrics record; device scalars are fetched in batches."""
+        """Queue a metrics record.  Values may be plain numbers, device
+        scalars, or ``(device_array, index)`` tuples — the latter defer
+        even the slice to flush time, so recording costs ZERO dispatches
+        (an eager ``arr[i]`` outside jit is its own device program, ~ms of
+        tunnel latency each)."""
         self._pending_metrics.append(record)
         if len(self._pending_metrics) >= self.metrics_flush_every:
             self._flush_metrics()
@@ -251,21 +257,25 @@ class SLAMSystem:
     def _flush_metrics(self) -> None:
         if not self._pending_metrics:
             return
-        # one batched fetch for all queued device scalars
-        scalars = [
-            (rec, k) for rec in self._pending_metrics
-            for k, v in rec.items() if isinstance(v, jnp.ndarray)
-        ]
-        if scalars:
-            # Pad to a bucket size so the stacking program compiles for a
-            # handful of shapes instead of one per distinct record count.
-            vals = [rec[k].astype(jnp.float32) for rec, k in scalars]
-            bucket = -(-len(vals) // 64) * 64
-            vals += [vals[0]] * (bucket - len(vals))
-            fetched = np.asarray(jnp.stack(vals))
-            for (rec, k), v in zip(scalars, fetched):
-                rec[k] = float(v)
+        # Pipelined fetch: start every array's D2H copy, then resolve.
+        arrays: dict[int, jnp.ndarray] = {}
         for rec in self._pending_metrics:
+            for v in rec.values():
+                a = v[0] if isinstance(v, tuple) else v
+                if isinstance(a, jnp.ndarray):
+                    arrays.setdefault(id(a), a)
+        for a in arrays.values():
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        host = {i: np.asarray(a) for i, a in arrays.items()}
+        for rec in self._pending_metrics:
+            for k, v in rec.items():
+                if isinstance(v, tuple) and isinstance(v[0], jnp.ndarray):
+                    rec[k] = float(host[id(v[0])][v[1]])
+                elif isinstance(v, jnp.ndarray):
+                    rec[k] = float(host[id(v)])
             self._metrics_f.write(json.dumps(rec) + "\n")
         self._metrics_f.flush()
         self._pending_metrics = []
@@ -336,7 +346,7 @@ class SLAMSystem:
         if self.verbose:
             print(f"Mapping frame {idx}: loss {float(losses[-1]):.5f} "
                   f"({dt*1e3:.0f} ms)")
-        return {"map_loss": losses[-1], "map_ms": dt * 1e3}
+        return {"map_loss": (losses, -1), "map_ms": dt * 1e3}
 
     def _extract_and_cull_mesh(self, path: str, upto: int) -> str:
         """Extract the current mesh and cull it with frames [0, upto)."""
@@ -377,8 +387,8 @@ class SLAMSystem:
             px_i, px_j, px_color, px_depth, self._next_key())
         ms_per_frame = (time.time() - t0) * 1e3 / len(buf)
         for g, (idx, pkt, rec) in enumerate(buf):
-            rec["track_loss_first"] = loss_first[g]
-            rec["track_loss_best"] = loss_best[g]
+            rec["track_loss_first"] = (loss_first, g)
+            rec["track_loss_best"] = (loss_best, g)
             rec["track_ms"] = ms_per_frame
             self._maybe_track_vis(idx, pkt, c2ws[g])
 
@@ -528,6 +538,8 @@ class SLAMSystem:
             self._extract_and_cull_mesh(
                 os.path.join(self.output, "mesh", name), upto=self.n_img)
         except Exception as e:  # meshing must not lose the run's trajectory
+            import traceback
+            traceback.print_exc()
             print(f"WARNING: final meshing failed: {e}")
         self._metrics_f.flush()
 
