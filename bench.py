@@ -46,6 +46,7 @@ def main():
     cfg["data"]["n_frames"] = args.frames
 
     slam = SLAMSystem(cfg, output=args.output, seed=0)
+    slam.final_mesh_subprocess = True
     # Empty the device queue at the warmup boundary so the steady window
     # holds no backlog from the (intentionally heavy) first-frame mapping.
     slam.sync_after_frame = args.warmup_frames - 1

@@ -228,6 +228,14 @@ class SLAMSystem:
 
         # Optional hooks (wired by run.py / tools): called as f(self, idx)
         self.on_map_done = None
+        self.input_folder = input_folder
+        # Final meshing in a FRESH process (resuming the final checkpoint):
+        # long runs leave the remote worker with thousands of loaded
+        # executables + aliased buffers, a state where the meshing
+        # programs - correct standalone - have been observed to fault the
+        # TPU worker.  run.py/bench.py turn this on; tests keep it off
+        # (in-process is faster when the process is short-lived).
+        self.final_mesh_subprocess = False
 
     # -- internals ---------------------------------------------------------
 
@@ -409,6 +417,25 @@ class SLAMSystem:
             if rec is not open_rec:
                 self._log_metrics(rec)
 
+    def _final_mesh_in_subprocess(self) -> None:
+        """Run tools/final_mesh.py against the just-written checkpoint in
+        a fresh python process (see final_mesh_subprocess)."""
+        import subprocess
+        import sys
+
+        import yaml
+
+        cfg = dict(self.cfg)
+        cfg.pop("inherit_from", None)
+        cfg_path = os.path.join(self.output, "config_resolved.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        cmd = [sys.executable, "-m", "myslam_tpu.tools.final_mesh",
+               cfg_path, "--output", self.output]
+        if self.input_folder is not None:
+            cmd += ["--input_folder", self.input_folder]
+        subprocess.run(cmd, check=True, timeout=3600)
+
     def _track_frame(self, idx: int, pkt) -> dict:
         t0 = time.time()
         # ONE device program: pose init + 8-iter optimization + trajectory
@@ -535,8 +562,11 @@ class SLAMSystem:
         # Final mesh (reference Mapper.py:448-456).
         name = "final_mesh_eval_rec.ply" if self.eval_rec else "final_mesh.ply"
         try:
-            self._extract_and_cull_mesh(
-                os.path.join(self.output, "mesh", name), upto=self.n_img)
+            if self.final_mesh_subprocess:
+                self._final_mesh_in_subprocess()
+            else:
+                self._extract_and_cull_mesh(
+                    os.path.join(self.output, "mesh", name), upto=self.n_img)
         except Exception as e:  # meshing must not lose the run's trajectory
             import traceback
             traceback.print_exc()

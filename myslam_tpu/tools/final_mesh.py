@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Final mesh extraction in a fresh process.
+
+Resumes the newest full-state checkpoint and runs the final mesh
+extraction + culling exactly as the in-loop path would
+(scheduler._extract_and_cull_mesh).  Long SLAM runs leave the remote TPU
+worker with thousands of loaded executables and heavily-aliased buffers,
+a state in which the (correct, standalone-verified) meshing programs
+have been observed to fault the worker; a fresh process sidesteps that
+state, and all programs come out of the persistent compilation cache.
+
+CLI: python -m myslam_tpu.tools.final_mesh <config.yaml> [--output DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("config", type=str)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--input_folder", type=str, default=None)
+    args = parser.parse_args()
+
+    from myslam_tpu.engine.scheduler import SLAMSystem
+    from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+
+    cfg = load_config(args.config, DEFAULT_CONFIG)
+    slam = SLAMSystem(cfg, input_folder=args.input_folder,
+                      output=args.output)
+    start = slam.resume()
+    if start == 0:
+        raise SystemExit("no checkpoint to mesh from")
+    name = ("final_mesh_eval_rec.ply" if slam.eval_rec else "final_mesh.ply")
+    out = slam._extract_and_cull_mesh(
+        os.path.join(slam.output, "mesh", name), upto=slam.n_img)
+    print(f"Final mesh written to {out}")
+
+
+if __name__ == "__main__":
+    main()
