@@ -25,8 +25,23 @@ def save_checkpoint(path: str, slam, idx: int) -> str:
     store = slam.store
     decoder = slam.map_state.decoder
     flat, treedef = jax.tree_util.tree_flatten(decoder)
-    # Uncompressed npz: zlib over the (mostly incompressible) f16 keyframe
-    # imagery costs seconds per save on a 2-core host for <2x size.
+    # Keyframe imagery crosses the ~11 MB/s D2H tunnel: quantize ON
+    # DEVICE to uint8 color (store holds f16 in [0,1]; u8 is the sensor
+    # precision anyway) and uint16 depth (per-checkpoint scale, <0.1 mm
+    # quantization) so the fetch is ~130 MB instead of ~260 MB.
+    n = store.count
+    colors_u8 = jnp.clip(jnp.round(
+        store.colors[:n].astype(jnp.float32) * 255.0), 0, 255
+    ).astype(jnp.uint8)
+    dmax = float(jnp.max(store.depths[:n])) if n else 1.0
+    dq = 60000.0 / max(dmax, 1e-3)
+    # valid (>0) depths never quantize to 0 (0 encodes "no depth")
+    depths_u16 = jnp.where(
+        store.depths[:n] > 0,
+        jnp.clip(jnp.round(store.depths[:n] * dq), 1, 65535),
+        0).astype(jnp.uint16)
+    # Uncompressed npz: zlib over the (mostly incompressible) imagery
+    # costs seconds per save on a 2-core host for <2x size.
     np.savez(
         path,
         idx=idx,
@@ -37,11 +52,12 @@ def save_checkpoint(path: str, slam, idx: int) -> str:
         estimate_c2w_list=slam.estimates,
         gt_c2w_list=slam.gt_poses,
         keyframe_list=np.asarray(store.frame_ids, np.int64),
-        kf_colors=np.asarray(store.colors[:store.count]),
-        kf_depths=np.asarray(store.depths[:store.count]),
-        kf_est_c2w=np.asarray(store.est_c2w[:store.count]),
-        kf_gt_c2w=np.asarray(store.gt_c2w[:store.count]),
-        kf_has_depthless=np.asarray(store.has_depthless[:store.count]),
+        kf_colors_u8=np.asarray(colors_u8),
+        kf_depths_u16=np.asarray(depths_u16),
+        kf_depth_inv_q=np.float32(1.0 / dq),
+        kf_est_c2w=np.asarray(store.est_c2w[:n]),
+        kf_gt_c2w=np.asarray(store.gt_c2w[:n]),
+        kf_has_depthless=np.asarray(store.has_depthless[:n]),
         rng_key=np.asarray(slam.key),
         allow_pickle=True,
     )
@@ -68,11 +84,17 @@ def load_checkpoint(path: str, slam) -> int:
     n = len(data["keyframe_list"])
     store.count = 0
     store.frame_ids = []
+    if "kf_colors_u8" in data:
+        colors = data["kf_colors_u8"].astype(np.float32) / 255.0
+        depths = (data["kf_depths_u16"].astype(np.float32)
+                  * float(data["kf_depth_inv_q"]))
+    else:  # pre-quantization checkpoints
+        colors, depths = data["kf_colors"], data["kf_depths"]
     for k in range(n):
         store.add(
             int(data["keyframe_list"][k]),
-            jnp.asarray(data["kf_colors"][k]),
-            jnp.asarray(data["kf_depths"][k]),
+            jnp.asarray(colors[k]),
+            jnp.asarray(depths[k]),
             jnp.asarray(data["kf_est_c2w"][k]),
             jnp.asarray(data["kf_gt_c2w"][k]),
             has_depthless=bool(data["kf_has_depthless"][k]),
