@@ -28,6 +28,7 @@ def sdf_losses(
     w_fs: float,
     w_center: float,
     w_tail: float,
+    mean_fn=masked_mean,
 ) -> jnp.ndarray:
     """Weighted free-space + center + tail SDF losses.
 
@@ -45,26 +46,28 @@ def sdf_losses(
     center = (z_vals > d - 0.4 * truncation) & (z_vals < d + 0.4 * truncation) & rm
     tail = (~front) & (~back) & (~center) & rm
 
-    fs_loss = masked_mean(jnp.square(sdf - 1.0), front)
+    fs_loss = mean_fn(jnp.square(sdf - 1.0), front)
     est = z_vals + sdf * truncation
-    center_loss = masked_mean(jnp.square(est - d), center)
-    tail_loss = masked_mean(jnp.square(est - d), tail)
+    center_loss = mean_fn(jnp.square(est - d), center)
+    tail_loss = mean_fn(jnp.square(est - d), tail)
     return w_fs * fs_loss + w_center * center_loss + w_tail * tail_loss
 
 
 def color_loss(
-    gt_color: jnp.ndarray, color: jnp.ndarray, ray_mask: jnp.ndarray
+    gt_color: jnp.ndarray, color: jnp.ndarray, ray_mask: jnp.ndarray,
+    mean_fn=masked_mean,
 ) -> jnp.ndarray:
     """Masked mean squared color error; gt/color: (R, 3), mask: (R,)."""
     sq = jnp.square(gt_color - color)
-    return masked_mean(sq, jnp.broadcast_to(ray_mask[:, None], sq.shape))
+    return mean_fn(sq, jnp.broadcast_to(ray_mask[:, None], sq.shape))
 
 
 def depth_loss(
-    gt_depth: jnp.ndarray, depth: jnp.ndarray, ray_mask: jnp.ndarray
+    gt_depth: jnp.ndarray, depth: jnp.ndarray, ray_mask: jnp.ndarray,
+    mean_fn=masked_mean,
 ) -> jnp.ndarray:
     """Masked mean squared depth error; (R,) each."""
-    return masked_mean(jnp.square(gt_depth - depth), ray_mask)
+    return mean_fn(jnp.square(gt_depth - depth), ray_mask)
 
 
 def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,122 @@
+"""Keyframe-partitioned multi-host BA with Schur-style pose solves.
+
+Functional gates: (1) the distributed map optimization converges with
+keyframe imagery sharded across a 4-device mesh (each shard reads only
+its own frames); (2) the psum'd reduced pose system (Gauss-Newton with
+Levenberg damping) pulls a perturbed keyframe pose back to ground truth
+far faster than it drifts — the Schur sweep does real work.
+"""
+
+import copy
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from myslam_tpu.core.quaternion import cam_pose_to_matrix, matrix_to_cam_pose
+from myslam_tpu.engine.camera import Camera
+from myslam_tpu.models.decoders import init_decoder_params
+from myslam_tpu.models.planes import init_map_state, make_layout
+from myslam_tpu.parallel.distributed_ba import (
+    make_distributed_ba,
+    shard_keyframes,
+)
+from myslam_tpu.render.renderer import SceneGeometry
+from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+from myslam_tpu.utils.datasets import Synthetic
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config(
+        os.path.join(REPO, "configs", "Synthetic", "room_smoke.yaml"),
+        DEFAULT_CONFIG)
+    cfg = copy.deepcopy(cfg)
+    cfg["cam"].update(H=48, W=64, fx=40.0, fy=40.0, cx=31.5, cy=23.5)
+    cfg["data"]["n_frames"] = 16
+    cfg["mapping"]["pixels"] = 512
+    ds = Synthetic(cfg)
+    cam = Camera.from_cfg(cfg)
+
+    bound = np.array(cfg["mapping"]["bound"], np.float32)
+    layout_s = make_layout(jnp.asarray(bound), [0.48, 0.12], 8)
+    layout_c = make_layout(jnp.asarray(bound), [0.48, 0.12], 8)
+    scene = SceneGeometry(layout_s, layout_c,
+                          tuple(map(tuple, bound.tolist())),
+                          0.06, 12, 4, True)
+    key = jax.random.PRNGKey(0)
+    ms = init_map_state(key, layout_s, layout_c,
+                        init_decoder_params(key, c_dim=8))
+
+    frames = [ds.get_frame(i) for i in (0, 5, 10, 15)]
+    kf_colors = jnp.asarray(
+        np.stack([f[0] for f in frames]), jnp.float16)
+    kf_depths = jnp.asarray(np.stack([f[1] for f in frames]))
+    c2ws = jnp.asarray(np.stack([f[2] for f in frames]))
+    poses_true = matrix_to_cam_pose(c2ws)
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("kf",))
+    kf_c, kf_d = shard_keyframes(mesh, kf_colors, kf_depths)
+    slot_kf = jnp.arange(4, dtype=jnp.int32)
+    n_slots = jnp.int32(4)
+
+    # Train the map at the TRUE poses (poses frozen).
+    ba_train = make_distributed_ba(
+        cfg, scene, cam, mesh, iters=60, pose_solver="adam")
+    frozen = jnp.zeros((4,))
+    losses = None
+    for r in range(3):
+        ms, _, losses = ba_train(
+            ms, poses_true, frozen, slot_kf, n_slots, kf_c, kf_d,
+            jax.random.PRNGKey(100 + r))
+    return (cfg, scene, cam, mesh, ms, poses_true, slot_kf, n_slots,
+            kf_c, kf_d, np.asarray(losses))
+
+
+def test_distributed_training_converges(setup):
+    (_, _, _, _, _, _, _, _, _, _, losses) = setup
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], losses[[0, -1]]
+
+
+def test_schur_pose_step_recovers_perturbed_pose(setup):
+    (cfg, scene, cam, mesh, ms, poses_true, slot_kf, n_slots,
+     kf_c, kf_d, _) = setup
+    rng = np.random.default_rng(1)
+    poses = np.asarray(poses_true).copy()
+    # ~2 cm translation + small rotation on window slot 2
+    poses[2, 4:] += rng.normal(scale=0.012, size=3)
+    poses[2, :4] += rng.normal(scale=0.01, size=4)
+
+    def err(p):
+        c_est = np.asarray(cam_pose_to_matrix(jnp.asarray(p)))[2]
+        c_true = np.asarray(cam_pose_to_matrix(poses_true))[2]
+        return float(np.linalg.norm(c_est[:3, 3] - c_true[:3, 3]))
+
+    e0 = err(poses)
+    assert e0 > 0.008  # perturbation is non-trivial
+
+    mask = jnp.asarray([0.0, 0.0, 1.0, 0.0])
+    # Freeze the map for the recovery phase: this gate validates the
+    # reduced pose solve in isolation (jointly, the first-order map step
+    # partially absorbs a pose error — gauge freedom — as it does for
+    # the reference's Adam BA).
+    cfg_frozen = copy.deepcopy(cfg)
+    cfg_frozen["mapping"]["lr_factor"] = 1e-12
+    ba = make_distributed_ba(
+        cfg_frozen, scene, cam, mesh, iters=12, pose_solver="schur")
+    ms2, poses_out, losses = ba(
+        ms, jnp.asarray(poses), mask, slot_kf, n_slots, kf_c, kf_d,
+        jax.random.PRNGKey(5))
+    e1 = err(np.asarray(poses_out))
+    assert np.isfinite(np.asarray(losses)).all()
+    assert e1 < 0.5 * e0, (e0, e1)
+    # frozen poses untouched
+    np.testing.assert_allclose(
+        np.asarray(poses_out)[[0, 1, 3]], poses[[0, 1, 3]], atol=1e-7)
