@@ -183,8 +183,8 @@ def _extract_weld(vol, level, sx: int, nxp: int, tet_cap: int, f_cap: int,
     Returns (verts (v_cap, 3) grid coords, faces (f_cap, 3) int32,
     n_verts, n_tris); rows past the counts are padding.
     """
-    nxp_, ny, nz = _pad_x(vol, nxp).shape
     vol_p = _pad_x(vol, nxp)
+    _, ny, nz = vol_p.shape
     cy, cz = ny - 1, nz - 1
     ncell = sx * cy * cz
     n_slabs = (nxp - 1) // sx
