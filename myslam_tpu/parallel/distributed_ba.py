@@ -250,6 +250,12 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
                 loss, grads = jax.value_and_grad(map_loss)(
                     ms, jax.lax.stop_gradient(poses), pose_mask, p, i, j,
                     px_depth, px_color, z_vals, valid)
+                # Gradients taken INSIDE shard_map (check_vma=False) are
+                # per-shard partials — each shard saw only its own rays.
+                # One explicit psum makes them the exact global gradient;
+                # without it every shard's Adam applies a different update
+                # and the "replicated" map silently diverges across shards.
+                grads = jax.lax.psum(grads, kf_axis)
                 updates, opt_state2 = map_opt.update(grads, opt_state, ms)
                 ms = optax.apply_updates(ms, updates)
                 return (ms, poses, opt_state2, pose_state), loss
@@ -260,6 +266,7 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
 
             loss, grads = jax.value_and_grad(joint)(
                 {"map": ms, "poses": poses})
+            grads = jax.lax.psum(grads, kf_axis)  # see schur branch note
             updates, opt_state2 = map_opt.update(grads["map"], opt_state, ms)
             ms = optax.apply_updates(ms, updates)
             pu, pose_state2 = pose_opt.update(grads["poses"], pose_state,

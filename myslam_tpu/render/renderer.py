@@ -65,6 +65,123 @@ class SceneGeometry:
         return self.n_stratified + self.n_importance
 
 
+class FieldQueries:
+    """Query closures bound to ONE map representation.
+
+    ``render_core`` consumes this instead of a MapState so the same
+    rendering math drives every backend: the replicated quad-atlas path
+    (make_queries) and the band-sharded atlas path
+    (parallel/sharded_engine.py).  All closures take normalized points
+    (N, 3) in [-1, 1]; the *_ng variants are stop-gradient-bound for the
+    no-grad coarse importance pass.
+    """
+
+    __slots__ = ("sdf", "rgb", "sdf_ng", "beta", "beta_ng")
+
+    def __init__(self, sdf, rgb, sdf_ng, beta, beta_ng):
+        self.sdf = sdf
+        self.rgb = rgb
+        self.sdf_ng = sdf_ng
+        self.beta = beta
+        self.beta_ng = beta_ng
+
+
+def make_queries(ms: MapState, scene: SceneGeometry,
+                 sdf_quad=None, color_quad=None,
+                 need_color: bool = True) -> FieldQueries:
+    """FieldQueries over packed quad atlases (packs here if not given)."""
+    if sdf_quad is None:
+        sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
+    if need_color and color_quad is None:
+        color_quad = pack_quad(ms.color_atlas, scene.color_layout)
+    rm_sdf = _row_map(scene.sdf_layout)
+    rm_color = _row_map(scene.color_layout)
+    sg = jax.lax.stop_gradient
+    dec_ng = sg(ms.decoder)
+    sdf_quad_ng = sg(sdf_quad)
+    return FieldQueries(
+        sdf=lambda p: decode_sdf_corners(
+            ms.decoder, sample_fused(sdf_quad, scene.sdf_layout, p), rm_sdf),
+        rgb=(lambda p: decode_rgb_corners(
+            ms.decoder, sample_fused(color_quad, scene.color_layout, p),
+            rm_color)) if need_color else None,
+        sdf_ng=lambda p: decode_sdf_corners(
+            dec_ng, sample_fused(sdf_quad_ng, scene.sdf_layout, p), rm_sdf),
+        beta=ms.decoder["beta"][0],
+        beta_ng=dec_ng["beta"][0],
+    )
+
+
+def build_z_vals_core(
+    key: jax.Array,
+    scene: SceneGeometry,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    importance: bool,
+    q: FieldQueries,
+) -> jnp.ndarray:
+    """Per-ray sample depths, (R, n_stratified + n_importance).
+
+    Depth-valid rays get the depth-guided schedule; when ``importance`` is
+    statically on, depth-less rays instead get stratified-to-bbox-exit plus
+    inverse-CDF importance samples from a no-grad coarse SDF pass
+    (reference src/utils/Renderer.py:85-134).
+    """
+    k_surf, k_uni, k_pdf = jax.random.split(key, 3)
+    z_depth = depth_guided_z_vals(
+        k_surf, gt_depth, scene.truncation, scene.n_stratified,
+        scene.n_importance, scene.perturb,
+    )
+    if not importance:
+        return z_depth
+
+    rays_o_ng = jax.lax.stop_gradient(rays_o)
+    rays_d_ng = jax.lax.stop_gradient(rays_d)
+    far = ray_aabb_exit_t(rays_o_ng, rays_d_ng, scene.bound_array) + 0.01
+    z_uni = uniform_z_vals(k_uni, far, scene.n_stratified, scene.perturb)
+    pts_uni = rays_o_ng[:, None, :] + rays_d_ng[:, None, :] * z_uni[..., None]
+    p_nor = normalize_3d_coordinate(
+        pts_uni.reshape(-1, 3), scene.bound_array
+    )
+    sdf_uni = q.sdf_ng(p_nor).reshape(z_uni.shape)
+    alpha_uni = sdf2alpha(sdf_uni, q.beta_ng)
+    w_uni = composite_weights(alpha_uni)
+    z_mid = 0.5 * (z_uni[..., 1:] + z_uni[..., :-1])
+    z_samples = sample_pdf(
+        k_pdf, z_mid, w_uni[..., 1:-1], scene.n_importance
+    )
+    z_nodepth = jnp.sort(
+        jnp.concatenate([z_uni, z_samples], axis=-1), axis=-1
+    )
+    return jnp.where((gt_depth > 0)[:, None], z_depth, z_nodepth)
+
+
+def render_core(
+    key: jax.Array,
+    scene: SceneGeometry,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    importance: bool,
+    q: FieldQueries,
+):
+    """Render a ray batch against arbitrary field queries.
+
+    Returns (depth (R,), color (R, 3), sdf (R, N), z_vals (R, N)) — the
+    reference's render_batch_ray contract (src/utils/Renderer.py:63-147).
+    """
+    z_vals = build_z_vals_core(key, scene, rays_o, rays_d, gt_depth,
+                               importance, q)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    p_nor = normalize_3d_coordinate(pts.reshape(-1, 3), scene.bound_array)
+    sdf = q.sdf(p_nor).reshape(z_vals.shape)
+    rgb = q.rgb(p_nor).reshape(z_vals.shape + (3,))
+    alpha = sdf2alpha(sdf, q.beta)
+    depth, color, _ = composite(alpha, z_vals, rgb)
+    return depth, color, sdf, z_vals
+
+
 def query_sdf(ms: MapState, scene: SceneGeometry, p_nor: jnp.ndarray,
               sdf_quad: jnp.ndarray | None = None):
     """Raw SDF at normalized points (reference src/networks/decoders.py:87).
@@ -114,44 +231,10 @@ def build_z_vals(
     importance: bool,
     sdf_quad=None,
 ) -> jnp.ndarray:
-    """Per-ray sample depths, (R, n_stratified + n_importance).
-
-    Depth-valid rays get the depth-guided schedule; when ``importance`` is
-    statically on, depth-less rays instead get stratified-to-bbox-exit plus
-    inverse-CDF importance samples from a no-grad coarse SDF pass
-    (reference src/utils/Renderer.py:85-134).
-    """
-    k_surf, k_uni, k_pdf = jax.random.split(key, 3)
-    z_depth = depth_guided_z_vals(
-        k_surf, gt_depth, scene.truncation, scene.n_stratified,
-        scene.n_importance, scene.perturb,
-    )
-    if not importance:
-        return z_depth
-
-    rays_o_ng = jax.lax.stop_gradient(rays_o)
-    rays_d_ng = jax.lax.stop_gradient(rays_d)
-    far = ray_aabb_exit_t(rays_o_ng, rays_d_ng, scene.bound_array) + 0.01
-    z_uni = uniform_z_vals(k_uni, far, scene.n_stratified, scene.perturb)
-    pts_uni = rays_o_ng[:, None, :] + rays_d_ng[:, None, :] * z_uni[..., None]
-    p_nor = normalize_3d_coordinate(
-        pts_uni.reshape(-1, 3), scene.bound_array
-    )
-    ms_ng = jax.lax.stop_gradient(ms)
-    sdf_uni = query_sdf(
-        ms_ng, scene, p_nor, jax.lax.stop_gradient(sdf_quad)
-        if sdf_quad is not None else None
-    ).reshape(z_uni.shape)
-    alpha_uni = sdf2alpha(sdf_uni, ms_ng.decoder["beta"][0])
-    w_uni = composite_weights(alpha_uni)
-    z_mid = 0.5 * (z_uni[..., 1:] + z_uni[..., :-1])
-    z_samples = sample_pdf(
-        k_pdf, z_mid, w_uni[..., 1:-1], scene.n_importance
-    )
-    z_nodepth = jnp.sort(
-        jnp.concatenate([z_uni, z_samples], axis=-1), axis=-1
-    )
-    return jnp.where((gt_depth > 0)[:, None], z_depth, z_nodepth)
+    """build_z_vals_core over the quad-atlas backend (packs if needed)."""
+    q = make_queries(ms, scene, sdf_quad=sdf_quad, need_color=False)
+    return build_z_vals_core(
+        key, scene, rays_o, rays_d, gt_depth, importance, q)
 
 
 def render_rays(
@@ -165,7 +248,7 @@ def render_rays(
     sdf_quad=None,
     color_quad=None,
 ):
-    """Render a batch of rays.
+    """Render a batch of rays against a MapState.
 
     Returns (depth (R,), color (R, 3), sdf (R, N), z_vals (R, N)) —
     the reference's render_batch_ray contract (src/utils/Renderer.py:63-147).
@@ -174,19 +257,8 @@ def render_rays(
     them when the map is frozen across many render calls (tracking) so the
     pack runs once instead of per call.
     """
-    # Pack the quad atlases once; every query in this program reuses them.
-    if sdf_quad is None:
-        sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
-    if color_quad is None:
-        color_quad = pack_quad(ms.color_atlas, scene.color_layout)
-    z_vals = build_z_vals(key, ms, scene, rays_o, rays_d, gt_depth,
-                          importance, sdf_quad)
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    raw = query_raw(ms, scene, pts, sdf_quad, color_quad)  # (R, N, 4)
-    sdf = raw[..., -1]
-    alpha = sdf2alpha(sdf, ms.decoder["beta"][0])
-    depth, color, _ = composite(alpha, z_vals, raw[..., :3])
-    return depth, color, sdf, z_vals
+    q = make_queries(ms, scene, sdf_quad=sdf_quad, color_quad=color_quad)
+    return render_core(key, scene, rays_o, rays_d, gt_depth, importance, q)
 
 
 def make_image_renderer(scene: SceneGeometry, cam, ray_batch_size: int = 40960):

@@ -85,14 +85,37 @@ def test_distributed_training_converges(setup):
     assert losses[-1] < 0.5 * losses[0], losses[[0, -1]]
 
 
+def test_map_state_replicated_across_shards(setup):
+    """Regression: grads taken inside shard_map (check_vma=False) are
+    per-shard partials; without the explicit psum in ba_local every
+    shard's Adam applied a different update and the output map diverged
+    across devices (observed ~2e-2 after 3 iters)."""
+    (cfg, scene, cam, mesh, ms, poses_true, slot_kf, n_slots,
+     kf_c, kf_d, _) = setup
+    for solver in ("adam", "schur"):
+        ba = make_distributed_ba(
+            cfg, scene, cam, mesh, iters=3, pose_solver=solver)
+        mask = jnp.asarray([0.0, 1.0, 1.0, 0.0])
+        ms2, poses_out, _ = ba(
+            jax.tree_util.tree_map(jnp.copy, ms), poses_true, mask,
+            slot_kf, n_slots, kf_c, kf_d, jax.random.PRNGKey(9))
+        for arr in (ms2.sdf_atlas, ms2.color_atlas, poses_out):
+            shards = [np.asarray(s.data) for s in arr.addressable_shards]
+            for s in shards[1:]:
+                np.testing.assert_array_equal(shards[0], s)
+
+
 def test_schur_pose_step_recovers_perturbed_pose(setup):
     (cfg, scene, cam, mesh, ms, poses_true, slot_kf, n_slots,
      kf_c, kf_d, _) = setup
     rng = np.random.default_rng(1)
     poses = np.asarray(poses_true).copy()
-    # ~2 cm translation + small rotation on window slot 2
-    poses[2, 4:] += rng.normal(scale=0.012, size=3)
-    poses[2, :4] += rng.normal(scale=0.01, size=4)
+    # ~4 cm translation + rotation on window slot 2 — well above the
+    # trained map's own pose-bias floor (~1 cm: the rendering loss's
+    # minimum sits slightly off the true pose for a smoke-scale map), so
+    # the gate measures the solver, not the map.
+    poses[2, 4:] += rng.normal(scale=0.025, size=3)
+    poses[2, :4] += rng.normal(scale=0.012, size=4)
 
     def err(p):
         c_est = np.asarray(cam_pose_to_matrix(jnp.asarray(p)))[2]
@@ -110,7 +133,7 @@ def test_schur_pose_step_recovers_perturbed_pose(setup):
     cfg_frozen = copy.deepcopy(cfg)
     cfg_frozen["mapping"]["lr_factor"] = 1e-12
     ba = make_distributed_ba(
-        cfg_frozen, scene, cam, mesh, iters=12, pose_solver="schur")
+        cfg_frozen, scene, cam, mesh, iters=24, pose_solver="schur")
     ms2, poses_out, losses = ba(
         ms, jnp.asarray(poses), mask, slot_kf, n_slots, kf_c, kf_d,
         jax.random.PRNGKey(5))
