@@ -30,15 +30,27 @@ from myslam_tpu.core.losses import color_loss, depth_loss, sdf_losses
 from myslam_tpu.core.quaternion import cam_pose_to_matrix
 from myslam_tpu.engine.camera import Camera
 from myslam_tpu.models.planes import MapState
-from myslam_tpu.render.renderer import SceneGeometry, render_rays
+from myslam_tpu.render.renderer import (
+    SceneGeometry,
+    make_queries,
+    render_core,
+)
 
 
 def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
-                ray_sharding=None, importance: bool = True):
+                ray_sharding=None, importance: bool = True,
+                queries_factory=None):
     """Shared mapping internals: the per-iteration loss and the
     multi-transform optimizer (reference LR groups, src/Mapper.py:291-306).
     Used by both make_mapper (bare BA step) and make_frame_mapper (the
-    whole mapped frame as one program)."""
+    whole mapped frame as one program).
+
+    ``queries_factory(ms) -> FieldQueries`` selects the map backend the
+    loss renders against; the default is the replicated quad-atlas
+    backend (renderer.make_queries).  parallel/sharded_engine.py passes a
+    band-sharded backend here, which makes the WHOLE fused frame program
+    (selection, scan, write-back, admission) run against a map
+    partitioned across the device mesh with no further changes."""
     m = cfg["mapping"]
     n_rays = int(m["pixels"])
     w_color, w_depth = float(m["w_color"]), float(m["w_depth"])
@@ -75,6 +87,9 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
 
     bound = scene.bound_array
     HW = cam.H * cam.W
+    if queries_factory is None:
+        def queries_factory(ms):
+            return make_queries(ms, scene)
 
     def loss_fn(params, pose_mask, slot_kf, n_slots, kf_colors, kf_depths, key):
         ms: MapState = params["map"]
@@ -120,9 +135,9 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
         # ``importance`` is statically off when the caller knows every pixel
         # in the window has valid depth (then the reference's depth-less
         # sampling branch is provably dead and its coarse pass is skipped).
-        depth, color, sdf, z_vals = render_rays(
-            k_render, ms, scene, rays_o, rays_d, px_depth,
-            importance=importance
+        depth, color, sdf, z_vals = render_core(
+            k_render, scene, rays_o, rays_d, px_depth,
+            importance, queries_factory(ms)
         )
         dmask = inside & (px_depth > 0)
 
@@ -170,6 +185,7 @@ def make_mapper(
     cam: Camera,
     ray_sharding=None,
     importance: bool = True,
+    queries_factory=None,
 ):
     """Build a jitted mapping step (bare BA: window described by caller).
 
@@ -187,7 +203,8 @@ def make_mapper(
     """
     m = cfg["mapping"]
     loss_fn, optimizer = _build_core(
-        cfg, scene, cam, ray_sharding=ray_sharding, importance=importance)
+        cfg, scene, cam, ray_sharding=ray_sharding, importance=importance,
+        queries_factory=queries_factory)
 
     def run_chunk(
         params,
@@ -271,6 +288,7 @@ def make_frame_mapper(
     scratch_slot: int,
     ray_sharding=None,
     importance: bool = True,
+    queries_factory=None,
 ):
     """The WHOLE mapped frame as one device program (per iteration chunk).
 
@@ -300,7 +318,8 @@ def make_frame_mapper(
 
     m = cfg["mapping"]
     loss_fn, optimizer = _build_core(
-        cfg, scene, cam, ray_sharding=ray_sharding, importance=importance)
+        cfg, scene, cam, ray_sharding=ray_sharding, importance=importance,
+        queries_factory=queries_factory)
 
     def run_chunk(params, opt_state, sel, est_dev, kf_est, kf_gt,
                   kf_colors, kf_depths, scr_color_u8, scr_depth_u16,

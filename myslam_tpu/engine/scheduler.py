@@ -132,23 +132,62 @@ class SLAMSystem:
         self.const_speed = bool(
             cfg["tracking"].get("const_speed_assumption", True))
 
-        mapped = sorted(set(
-            list(range(0, self.n_img, self.every_frame)) + [self.n_img - 1]))
-        n_keyframes = sum(1 for i in mapped if i % self.keyframe_every == 0)
-        self.store = KeyframeStore(n_keyframes + 2, self.cam)
-        self.scratch_slot = self.store.capacity - 1
-        self.w_max = self.window_size + 2  # selected + last two + current
+        # Multi-device scale-out (SURVEY §2.2/§5.7/§5.8), config-driven:
+        #   parallel.devices     — ray data-parallelism (pixel batches
+        #                          sharded, map/pose grads psum'd over ICI)
+        #   parallel.map_shards  — map-block sharding: plane atlases
+        #                          band-partitioned across the mesh with
+        #                          halo exchange (maps beyond one chip)
+        #   parallel.kf_shards   — keyframe-partitioned BA: imagery and
+        #                          ray work sharded by window slot
+        # 0 means "all visible devices".
+        par = cfg.get("parallel", {}) or {}
 
-        # Multi-device ray data-parallelism (SURVEY §5.8): pixel batches
-        # sharded over a device mesh, map/pose grads psum'd over ICI.
-        n_dev_cfg = int(cfg.get("parallel", {}).get("devices", 1))
-        n_dev = len(jax.devices()) if n_dev_cfg == 0 else n_dev_cfg
+        def _n(name):
+            v = int(par.get(name, 1))
+            return len(jax.devices()) if v == 0 else v
+
+        n_dev = _n("devices")
+        self.map_shards = _n("map_shards")
+        self.kf_shards = _n("kf_shards")
+        if sum(x > 1 for x in (n_dev, self.map_shards, self.kf_shards)) > 1:
+            raise ValueError(
+                "parallel.devices / map_shards / kf_shards are mutually "
+                "exclusive single-axis modes (use dryrun/pod tools for "
+                "combined meshes)")
         self.ray_sharding = None
         self.mesh = None
+        self.sharded_geom = None
+        self._map_banded = None  # banded view (map_shards>1), lazily built
         if n_dev > 1:
             from myslam_tpu.parallel.mesh import make_mesh, ray_dp_sharding
             self.mesh = make_mesh(n_dev)
             self.ray_sharding = ray_dp_sharding(self.mesh)
+        if self.map_shards > 1:
+            from jax.sharding import Mesh
+            from myslam_tpu.parallel.sharded_engine import ShardedMapGeometry
+            self.mesh = Mesh(
+                np.array(jax.devices()[:self.map_shards]), ("map",))
+            self.sharded_geom = ShardedMapGeometry(self.mesh, self.scene)
+        if self.kf_shards > 1:
+            from jax.sharding import Mesh
+            self.mesh = Mesh(
+                np.array(jax.devices()[:self.kf_shards]), ("kf",))
+
+        mapped = sorted(set(
+            list(range(0, self.n_img, self.every_frame)) + [self.n_img - 1]))
+        n_keyframes = sum(1 for i in mapped if i % self.keyframe_every == 0)
+        capacity = n_keyframes + 2
+        if self.kf_shards > 1:
+            # Slot axis sharded P('kf'): capacity padded to the mesh, and
+            # the imagery buffers placed so each device holds only its
+            # own keyframes (the multi-host analog: per-host frames).
+            capacity = -(-capacity // self.kf_shards) * self.kf_shards
+        self.store = KeyframeStore(capacity, self.cam)
+        self.scratch_slot = self.store.capacity - 1
+        self.w_max = self.window_size + 2  # selected + last two + current
+        if self.kf_shards > 1:
+            self._place_store_sharded()
 
         self.tracker = make_frame_tracker(cfg, self.scene, self.cam,
                                           ray_sharding=self.ray_sharding)
@@ -178,10 +217,28 @@ class SLAMSystem:
         # admission) — see make_frame_mapper.
         self._mappers = {}
         for imp in (False, True):
-            self._mappers[imp] = make_frame_mapper(
-                cfg, self.scene, self.cam, self._select_window,
-                self.w_max, self.scratch_slot,
-                importance=imp, ray_sharding=self.ray_sharding)
+            if self.sharded_geom is not None:
+                from myslam_tpu.parallel.sharded_engine import (
+                    make_sharded_frame_mapper,
+                )
+                self._mappers[imp] = make_sharded_frame_mapper(
+                    cfg, self.scene, self.cam, self._select_window,
+                    self.w_max, self.scratch_slot, self.sharded_geom,
+                    importance=imp)
+            elif self.kf_shards > 1:
+                from myslam_tpu.parallel.distributed_ba import (
+                    make_kf_frame_mapper,
+                )
+                self._mappers[imp] = make_kf_frame_mapper(
+                    cfg, self.scene, self.cam, self._select_window,
+                    self.w_max, self.scratch_slot, self.mesh,
+                    importance=imp,
+                    pose_solver=str(par.get("pose_solver", "adam")))
+            else:
+                self._mappers[imp] = make_frame_mapper(
+                    cfg, self.scene, self.cam, self._select_window,
+                    self.w_max, self.scratch_slot,
+                    importance=imp, ray_sharding=self.ray_sharding)
         # Optimizer-state buffer reused (donated) across mapped frames;
         # values are overwritten by each frame's in-program init.
         self._opt_buf = None
@@ -288,6 +345,25 @@ class SLAMSystem:
         self._metrics_f.flush()
         self._pending_metrics = []
 
+    def _place_store_sharded(self) -> None:
+        """Place keyframe imagery sharded over the kf mesh axis (slot
+        axis): each device/host holds only its own keyframes' pixels."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P("kf"))
+        self.store.colors = jax.device_put(self.store.colors, sh)
+        self.store.depths = jax.device_put(self.store.depths, sh)
+
+    def _mapper_state(self):
+        """The map representation the frame mapper consumes: banded under
+        map sharding (lazily derived from the replicated canonical state,
+        e.g. after init or resume), the MapState itself otherwise."""
+        if self.sharded_geom is None:
+            return self.map_state
+        if self._map_banded is None:
+            self._map_banded = self.sharded_geom.shard(self.map_state)
+        return self._map_banded
+
     def _map_frame(self, idx: int, pkt, first: bool,
                    cur_has_depthless: bool) -> dict:
         """Run one mapped frame (selection + BA + write-back + admission)
@@ -304,14 +380,15 @@ class SLAMSystem:
         needs_importance = cur_has_depthless or any(
             self.store.has_depthless[:self.store.count])
         mapper = self._mappers[needs_importance]
+        ms_in = self._mapper_state()
         if self._opt_buf is None:
             self._opt_buf = mapper.jit_init(
-                {"map": self.map_state,
+                {"map": ms_in,
                  "poses": jnp.zeros((self.w_max, 7), jnp.float32)})
-        (self.map_state, self._opt_buf, self._est_dev, self.store.est_c2w,
+        (ms_out, self._opt_buf, self._est_dev, self.store.est_c2w,
          self.store.gt_c2w, self.store.colors, self.store.depths,
          losses) = mapper(
-            self.map_state, self._opt_buf, self._est_dev,
+            ms_in, self._opt_buf, self._est_dev,
             self.store.est_c2w, self.store.gt_c2w, self.store.colors,
             self.store.depths, jnp.asarray(pkt.color_u8),
             jnp.asarray(pkt.depth_u16), pkt.depth_inv_q,
@@ -320,6 +397,14 @@ class SLAMSystem:
             iters=self._iters_first if first else self._iters,
             lr_factor=self._lr_first_factor if first else self._lr_factor,
             joint_opt=joint_opt, admit=admit)
+        if self.sharded_geom is not None:
+            # Banded state stays canonical for mapping; the replicated
+            # view (tracker/visualizer/mesher/checkpoints) is ONE atlas
+            # all-gather over ICI per mapped frame.
+            self._map_banded = ms_out
+            self.map_state = self.sharded_geom.unshard(ms_out)
+        else:
+            self.map_state = ms_out
         if admit:
             # Buffers were written by the device program; record the slot.
             self.store.note_admitted(idx, has_depthless=cur_has_depthless)
@@ -464,6 +549,11 @@ class SLAMSystem:
         if path is None:
             return 0
         start = load_checkpoint(path, self)
+        # Checkpoints hold the replicated standard-layout map; the banded
+        # view re-derives lazily on the next mapped frame.
+        self._map_banded = None
+        if self.kf_shards > 1:
+            self._place_store_sharded()
         if self.verbose:
             print(f"Resumed from {path} at frame {start}")
         return start
@@ -489,7 +579,7 @@ class SLAMSystem:
         benchmark's warmup window)."""
         if self._opt_buf is None:
             self._opt_buf = self._mappers[True].jit_init(
-                {"map": self.map_state,
+                {"map": self._mapper_state(),
                  "poses": jnp.zeros((self.w_max, 7), jnp.float32)})
 
     def run(self, start_idx: int = 0) -> None:

@@ -71,6 +71,42 @@ def shard_keyframes(mesh: Mesh, kf_colors, kf_depths, axis: str = "kf"):
     return jax.device_put(kf_colors, sh), jax.device_put(kf_depths, sh)
 
 
+def make_local_ray_picker(cam, n_rays: int, kf_axis: str):
+    """Per-shard ray draw from the window slots this shard owns.
+
+    Returns pick(slot_kf (W,), n_slots, kf_depths_l, kf_colors_l, key)
+      -> (p (R,) window positions, i, j, px_depth, px_color, valid)
+    where R = n_rays is the LOCAL ray budget.  Ownership: global slot s
+    lives on shard s // cap_local (contiguous slot sharding) — each
+    shard's rays read only its local imagery; raw pixels never cross the
+    interconnect (SURVEY §5.7 north star).
+    """
+    HW = cam.H * cam.W
+
+    def pick(slot_kf, n_slots, kf_colors_l, kf_depths_l, key):
+        me = jax.lax.axis_index(kf_axis)
+        cap_l = kf_depths_l.shape[0]
+        W = slot_kf.shape[0]
+        pos = jnp.arange(W)
+        owned = ((slot_kf // cap_l) == me) & (pos < n_slots)
+        (owned_pos,) = jnp.nonzero(owned, size=W, fill_value=0)
+        k_own = jnp.sum(owned.astype(jnp.int32))
+        p = owned_pos[jnp.arange(n_rays) % jnp.maximum(k_own, 1)]  # (R,)
+        valid = k_own > 0
+        local_slot = (slot_kf % cap_l)[p]
+
+        ki, kj = jax.random.split(jax.random.fold_in(key, me))
+        i = jax.random.randint(ki, (n_rays,), 0, cam.W).astype(jnp.float32)
+        j = jax.random.randint(kj, (n_rays,), 0, cam.H).astype(jnp.float32)
+        flat = (local_slot * HW + j.astype(jnp.int32) * cam.W
+                + i.astype(jnp.int32))
+        px_depth = kf_depths_l.reshape(-1)[flat]
+        px_color = kf_colors_l.reshape(-1, 3)[flat].astype(jnp.float32)
+        return p, i, j, px_depth, px_color, valid
+
+    return pick
+
+
 def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
                         kf_axis: str = "kf", iters: int | None = None,
                         pose_solver: str = "schur",
@@ -287,3 +323,304 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
     )(ba_local)
 
     return jax.jit(smapped, donate_argnums=(0,))
+
+
+def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
+                         scratch_slot: int, mesh: Mesh,
+                         kf_axis: str = "kf", importance: bool = True,
+                         pose_solver: str = "adam",
+                         lm_damping: float = 0.1):
+    """Keyframe-partitioned BA as the fused PRODUCT frame mapper.
+
+    Same contract as engine/mapper.make_frame_mapper, with kf_colors /
+    kf_depths sharded P(kf) over the slot axis (slot capacity must divide
+    by the mesh size; the scheduler pads it).  Per chunk, one jitted
+    program runs:
+
+      * init (start == 0): scratch dequantization into the sharded
+        buffers, device-side window selection on replicated poses, pose
+        vector + optimizer init — plain-jit global view;
+      * the iteration scan under shard_map over ``kf``: each shard draws
+        its ray budget from the window slots it owns (imagery stays
+        local), the masked loss means psum to the exact global loss
+        (renderer.render_core — the importance branch included), map
+        gradients psum once per iteration, poses step by Adam or by the
+        damped Gauss-Newton solve of the psum'd reduced (Schur) system;
+      * pose write-back + keyframe admission — plain-jit global view
+        (admission writes the replicated scratch values, so no
+        cross-shard imagery read).
+
+    This is the product wiring of the library-level make_distributed_ba
+    (VERDICT r1 item 1); the reference's counterpart is the whole
+    2-process design (src/ESLAM.py:246-260).
+    """
+    from myslam_tpu.core.quaternion import matrix_to_cam_pose
+    from myslam_tpu.render.renderer import (
+        build_z_vals_core,
+        make_queries,
+        render_core,
+    )
+
+    m = cfg["mapping"]
+    n_shards = mesh.shape[kf_axis]
+    n_rays = max(int(m["pixels"]) // n_shards, 1)
+    w_color, w_depth = float(m["w_color"]), float(m["w_depth"])
+    w_fs, w_center, w_tail = (
+        float(m["w_sdf_fs"]), float(m["w_sdf_center"]), float(m["w_sdf_tail"]))
+    lr = m["lr"]
+    learnable_beta = bool(cfg["rendering"].get("learnable_beta", True))
+    truncation = float(scene.truncation)
+    bound = scene.bound_array
+    sqrt_wd = float(np.sqrt(w_depth))
+    sqrt_wc = float(np.sqrt(w_color))
+
+    label_tree = {
+        "map": MapState(
+            sdf_atlas="planes",
+            color_atlas="c_planes",
+            decoder={
+                "sdf": [["decoders", "decoders"], ["decoders", "decoders"]],
+                "rgb": [["decoders", "decoders"], ["decoders", "decoders"]],
+                "sdf_out": ["decoders", "decoders"],
+                "rgb_out": ["decoders", "decoders"],
+                "beta": "decoders" if learnable_beta else "frozen",
+            },
+        ),
+        # Schur mode: poses leave the first-order system entirely (their
+        # loss gradient is stopped; the GN solve updates them instead).
+        "poses": "poses" if pose_solver != "schur" else "frozen",
+    }
+    optimizer = optax.multi_transform(
+        {
+            "decoders": optax.adam(float(lr["decoders_lr"])),
+            "planes": optax.adam(float(lr["planes_lr"])),
+            "c_planes": optax.adam(float(lr["c_planes_lr"])),
+            "poses": optax.adam(float(m["joint_opt_cam_lr"])),
+            "frozen": optax.set_to_zero(),
+        },
+        label_tree,
+    )
+    pick_rays = make_local_ray_picker(cam, n_rays, kf_axis)
+
+    def dmean(x, mask):
+        mk = mask.astype(x.dtype)
+        s = jax.lax.psum(jnp.sum(x * mk), kf_axis)
+        c = jax.lax.psum(jnp.sum(mk), kf_axis)
+        return s / jnp.maximum(c, 1.0)
+
+    def loss_fn(params, pose_mask, p, i, j, px_depth, px_color, valid, key):
+        ms = params["map"]
+        poses = params["poses"]
+        if pose_solver == "schur":
+            poses = jax.lax.stop_gradient(poses)
+        else:
+            poses = jnp.where(pose_mask[:, None] > 0, poses,
+                              jax.lax.stop_gradient(poses))
+        c2ws = cam_pose_to_matrix(poses)
+        rays_o, rays_d = rays_from_uv(
+            i, j, c2ws[p], cam.fx, cam.fy, cam.cx, cam.cy)
+        t_exit = ray_aabb_exit_t(
+            jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d),
+            bound)
+        inside = (t_exit >= px_depth) & valid
+
+        q = make_queries(ms, scene)
+        depth, color, sdf, z_vals = render_core(
+            key, scene, rays_o, rays_d, px_depth, importance, q)
+        dmask = inside & (px_depth > 0)
+        loss = sdf_losses(sdf, z_vals, px_depth, dmask, truncation,
+                          w_fs, w_center, w_tail, mean_fn=dmean)
+        loss = loss + w_color * color_loss(px_color, color, inside,
+                                           mean_fn=dmean)
+        loss = loss + w_depth * depth_loss(px_depth, depth, dmask,
+                                           mean_fn=dmean)
+        return loss
+
+    def pose_system(ms, poses, pose_mask, p, i, j, px_depth, px_color,
+                    valid, key):
+        """psum'd reduced pose normal equations H (W,7,7), g (W,7).
+
+        Forward-mode Jacobians ride the plain (jvp-safe) sampling path;
+        z-values are built once per iteration (no pose gradient flows
+        through them, matching the reference's no-grad z construction)."""
+        ms = jax.lax.stop_gradient(ms)
+        q = make_queries(ms, scene, jvp_safe=True)
+        c2ws = cam_pose_to_matrix(poses)
+        rays_o, rays_d = rays_from_uv(
+            i, j, c2ws[p], cam.fx, cam.fy, cam.cx, cam.cy)
+        z_vals = build_z_vals_core(
+            key, scene, rays_o, rays_d, px_depth, importance, q)
+
+        def r_one(pose7, i1, j1, d1, c1, z1):
+            c2w = cam_pose_to_matrix(pose7[None])[0]
+            ro, rd = rays_from_uv(
+                i1[None], j1[None], c2w, cam.fx, cam.fy, cam.cx, cam.cy)
+            pts = ro[:, None, :] + rd[:, None, :] * z1[None][..., None]
+            p_nor = normalize_3d_coordinate(pts.reshape(-1, 3), bound)
+            sdf = q.sdf(p_nor).reshape(1, -1)
+            rgb = q.rgb(p_nor).reshape(1, -1, 3)
+            alpha = sdf2alpha(sdf, q.beta)
+            depth, color, _ = composite(alpha, z1[None], rgb)
+            t_exit = ray_aabb_exit_t(ro, rd, bound)[0]
+            ins = (t_exit >= d1) & valid
+            md = (ins & (d1 > 0)).astype(jnp.float32)
+            mc = ins.astype(jnp.float32)
+            return jnp.concatenate([
+                (sqrt_wd * (depth[0] - d1) * md)[None],
+                sqrt_wc * (color[0] - c1) * mc,
+            ])
+
+        pose_of_ray = poses[p]
+        J = jax.vmap(jax.jacfwd(r_one))(
+            pose_of_ray, i, j, px_depth, px_color, z_vals)  # (R, 4, 7)
+        r = jax.vmap(r_one)(pose_of_ray, i, j, px_depth, px_color, z_vals)
+        W = poses.shape[0]
+        H = jnp.zeros((W, 7, 7)).at[p].add(jnp.einsum("rij,rik->rjk", J, J))
+        g = jnp.zeros((W, 7)).at[p].add(jnp.einsum("rij,ri->rj", J, r))
+        return jax.lax.psum(H, kf_axis), jax.lax.psum(g, kf_axis)
+
+    def make_ba_scan(chunk: int):
+        def ba_scan(params, opt_state, sel, kf_colors_l, kf_depths_l, key,
+                    start, lr_scale):
+            slot_kf, n_slots, pose_mask = sel
+
+            def step(carry, it):
+                params, opt_state = carry
+                k = jax.random.fold_in(key, it)
+                k_ray, k_z = jax.random.split(k)
+                p, i, j, px_depth, px_color, valid = pick_rays(
+                    slot_kf, n_slots, kf_colors_l, kf_depths_l, k_ray)
+
+                if pose_solver == "schur":
+                    # Pose solve FIRST (gauge coupling: the first-order
+                    # map step would absorb pose error otherwise).
+                    H, g = pose_system(
+                        params["map"], params["poses"], pose_mask, p, i, j,
+                        px_depth, px_color, valid, k_z)
+                    damp = lm_damping * jnp.maximum(
+                        jnp.trace(H, axis1=1, axis2=2)[:, None] / 7.0, 1e-6)
+                    Hd = H + damp[..., None] * jnp.eye(7)
+                    delta = -jnp.linalg.solve(Hd, g[..., None])[..., 0]
+                    params = dict(params)
+                    params["poses"] = (params["poses"]
+                                       + delta * pose_mask[:, None])
+
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, pose_mask, p, i, j, px_depth, px_color, valid,
+                    k_z)
+                # Per-shard partials -> exact global gradient (see
+                # make_distributed_ba's ba_local note).
+                grads = jax.lax.psum(grads, kf_axis)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params)
+                updates = {
+                    "map": jax.tree_util.tree_map(
+                        lambda u: u * lr_scale, updates["map"]),
+                    "poses": updates["poses"],
+                }
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), start + jnp.arange(chunk))
+            return params, opt_state, losses
+
+        return shard_map(
+            ba_scan, mesh=mesh,
+            in_specs=(P(), P(), P(), P(kf_axis), P(kf_axis), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+
+    kf_sharding_ = NamedSharding(mesh, P(kf_axis))
+
+    def run_chunk(params, opt_state, sel, est_dev, kf_est, kf_gt,
+                  kf_colors, kf_depths, scr_color_u8, scr_depth_u16,
+                  inv_q, gt_c2w, idx, count, key, start, lr_scale,
+                  joint_opt, admit, chunk: int):
+        scr_color = (scr_color_u8.astype(jnp.float32) * (1.0 / 255.0)
+                     ).astype(kf_colors.dtype)
+        scr_depth = scr_depth_u16.astype(jnp.float32) * inv_q
+
+        def init_fn(op):
+            params, opt_state, sel, kf_colors, kf_depths = op
+            kf_colors = kf_colors.at[scratch_slot].set(scr_color)
+            kf_depths = kf_depths.at[scratch_slot].set(scr_depth)
+            cur_c2w = est_dev[idx]
+            slot_kf, n_slots, pose_mask = selector(
+                kf_est, count, cur_c2w, scr_depth,
+                jax.random.fold_in(key, 0x7FFFFFFF), joint_opt)
+            c2ws = kf_est[slot_kf]
+            is_cur = jnp.arange(w_max) == n_slots - 1
+            c2ws = jnp.where(is_cur[:, None, None], cur_c2w[None], c2ws)
+            params = {"map": params["map"],
+                      "poses": matrix_to_cam_pose(c2ws)}
+            opt_state = optimizer.init(params)
+            return params, opt_state, (slot_kf, n_slots, pose_mask), \
+                kf_colors, kf_depths
+
+        params, opt_state, sel, kf_colors, kf_depths = jax.lax.cond(
+            start == 0, init_fn, lambda op: op,
+            (params, opt_state, sel, kf_colors, kf_depths))
+        slot_kf, n_slots, pose_mask = sel
+
+        params, opt_state, losses = make_ba_scan(chunk)(
+            params, opt_state, sel, kf_colors, kf_depths, key, start,
+            lr_scale)
+
+        # Masked pose write-back + admission (global view; admission
+        # writes the replicated scratch values so no cross-shard read).
+        c2ws_out = cam_pose_to_matrix(params["poses"])
+        old = kf_est[slot_kf]
+        kf_est = kf_est.at[slot_kf].set(
+            jnp.where(pose_mask[:, None, None] > 0, c2ws_out, old))
+        cur = c2ws_out[n_slots - 1]
+        est_dev = est_dev.at[idx].set(
+            jnp.where(joint_opt > 0, cur, est_dev[idx]))
+
+        dst = jnp.where(admit > 0, count, scratch_slot)
+        kf_colors = kf_colors.at[dst].set(scr_color)
+        kf_depths = kf_depths.at[dst].set(scr_depth)
+        kf_est = kf_est.at[dst].set(est_dev[idx])
+        kf_gt = kf_gt.at[dst].set(gt_c2w)
+        kf_colors = jax.lax.with_sharding_constraint(kf_colors, kf_sharding_)
+        kf_depths = jax.lax.with_sharding_constraint(kf_depths, kf_sharding_)
+        return (params, opt_state, sel, est_dev, kf_est, kf_gt,
+                kf_colors, kf_depths, losses)
+
+    chunk_iters = int(m.get("chunk_iters", 0)) or int(m["iters"])
+    jit_chunk = jax.jit(
+        run_chunk, static_argnames=("chunk",),
+        donate_argnums=(0, 1, 3, 4, 5, 6, 7))
+    jit_init = jax.jit(optimizer.init)
+
+    def map_frame(ms, opt_buf, est_dev, kf_est, kf_gt, kf_colors,
+                  kf_depths, scr_color_u8, scr_depth_u16, inv_q, gt_c2w,
+                  idx, count, key, *, iters: int, lr_factor: float,
+                  joint_opt: bool, admit: bool):
+        params = {"map": ms, "poses": jnp.zeros((w_max, 7), jnp.float32)}
+        sel = (jnp.zeros((w_max,), jnp.int32), jnp.int32(1),
+               jnp.zeros((w_max,), jnp.float32))
+        lr_scale = jnp.float32(lr_factor)
+        jo = jnp.float32(1.0 if joint_opt else 0.0)
+        ad = jnp.float32(1.0 if admit else 0.0)
+        losses = []
+        done = 0
+        while done < iters:
+            n = min(chunk_iters, iters - done)
+            (params, opt_buf, sel, est_dev, kf_est, kf_gt, kf_colors,
+             kf_depths, chunk_losses) = jit_chunk(
+                params, opt_buf, sel, est_dev, kf_est, kf_gt, kf_colors,
+                kf_depths, scr_color_u8, scr_depth_u16,
+                jnp.float32(inv_q), gt_c2w, jnp.int32(idx),
+                jnp.int32(count), key, jnp.int32(done), lr_scale, jo, ad,
+                chunk=n)
+            losses.append(chunk_losses)
+            done += n
+        all_losses = (losses[0] if len(losses) == 1
+                      else jnp.concatenate(losses, axis=0))
+        return (params["map"], opt_buf, est_dev, kf_est, kf_gt, kf_colors,
+                kf_depths, all_losses)
+
+    map_frame.jit_init = jit_init
+    map_frame.chunk_iters = chunk_iters
+    return map_frame

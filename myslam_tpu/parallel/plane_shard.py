@@ -106,17 +106,56 @@ class ShardedPlaneLayout:
                 p += 1
         return out
 
+    def to_banded_index(self) -> np.ndarray:
+        """(n_shards * local_rows,) map banded row -> standard atlas row,
+        -1 for band padding rows (content never read by sampling: padded
+        plane rows sit past the border clamp, and the halo weight at the
+        true bottom row is exactly zero)."""
+        idx = np.full((self.n_shards, self.local_rows), -1, np.int64)
+        p = 0
+        for lvl in range(self.layout.n_levels):
+            for ori in range(3):
+                H, W = self.layout.shapes[lvl][ori]
+                off = self.layout.offsets[lvl][ori]
+                bh = self.band_h[p]
+                lo = self.local_off[p]
+                for d in range(self.n_shards):
+                    y0 = d * bh
+                    rows = min(bh, H - y0)
+                    if rows > 0:
+                        idx[d, lo:lo + rows * W] = off + np.arange(
+                            y0 * W, (y0 + rows) * W)
+                p += 1
+        return idx.reshape(-1)
 
-def make_sharded_sampler(mesh: Mesh, axis: str, slayout: ShardedPlaneLayout):
-    """Build sample(local_atlas_shard, p_nor) -> (N, L*4C) under shard_map.
+    def from_banded_index(self) -> np.ndarray:
+        """(total_rows,) map standard atlas row -> banded row (exact)."""
+        fwd = self.to_banded_index()
+        inv = np.zeros((self.layout.total_rows,), np.int64)
+        keep = fwd >= 0
+        inv[fwd[keep]] = np.nonzero(keep)[0]
+        return inv
 
-    The returned function runs per device: halo-exchanged quad packing of
-    the local bands, owned-row gather, masked weighting, and one psum.
-    Differentiable (autodiff under shard_map gives the local scatter +
-    psum transpose).
+
+def make_local_fns(slayout: ShardedPlaneLayout, axis: str):
+    """Per-device (pack_local, sample_local) over one shard's band atlas.
+
+    These are the building blocks shared by every sharded backend —
+    callable inside ANY shard_map that carries ``axis`` (including
+    combined kf x map meshes, where nesting whole shard_maps is not an
+    option):
+
+      pack_local(local (local_rows, C), d) -> local quad (local_rows, 4C)
+        halo-exchanged quad packing of the local row bands (one ppermute
+        over ``axis`` fetches each band's down-neighbor row; the last
+        band clamps, reproducing grid_sample border padding).
+
+      sample_local(quad_local, p_nor, d) -> (N, L*4C) partial features
+        owned-row gather + masked bilinear weighting; callers must psum
+        the result over ``axis`` to assemble the full features.
     """
     layout = slayout.layout
-    n = mesh.shape[axis]
+    n = slayout.n_shards
     L = layout.n_levels
     C = layout.c_dim
     C4 = 4 * C
@@ -127,8 +166,6 @@ def make_sharded_sampler(mesh: Mesh, axis: str, slayout: ShardedPlaneLayout):
     sy = jnp.asarray(np.where(lane >= C4 // 2, 1.0, -1.0), jnp.float32)
 
     def pack_local(local, d):
-        """Local band atlas (local_rows, C) -> local quad (local_rows, 4C)
-        with the down-halo fetched from the next shard via ppermute."""
         parts = []
         # halo: first row-band slice of each plane from the NEXT device
         halos = []
@@ -171,8 +208,7 @@ def make_sharded_sampler(mesh: Mesh, axis: str, slayout: ShardedPlaneLayout):
     BH = np.array(slayout.band_h, np.int32)
     LO = np.array(slayout.local_off, np.int32)
 
-    def sample_local(local, p_nor, d):
-        quad = pack_local(local, d)
+    def sample_local(quad, p_nor, d):
         nq = p_nor.shape[0]
         u = p_nor[:, AU]
         v = p_nor[:, AV]
@@ -192,8 +228,48 @@ def make_sharded_sampler(mesh: Mesh, axis: str, slayout: ShardedPlaneLayout):
         g = jnp.take(quad, lidx.reshape(-1), axis=0).reshape(nq, P_, C4)
         w = (0.5 + (wx - 0.5) * sx) * (0.5 + (wy - 0.5) * sy)
         g = jnp.where(owned[..., None], g.astype(jnp.float32), 0.0) * w
-        red = jnp.sum(g.reshape(nq, L, 3, C4), axis=2).reshape(nq, L * C4)
-        return jax.lax.psum(red, axis)
+        return jnp.sum(g.reshape(nq, L, 3, C4), axis=2).reshape(nq, L * C4)
+
+    return pack_local, sample_local
+
+
+def make_banded_pack(mesh: Mesh, axis: str, slayout: ShardedPlaneLayout):
+    """Banded atlas (P(axis, None)) -> banded quad atlas (P(axis, None)).
+
+    Run ONCE per program over a frozen atlas, then sample the quad many
+    times (tracking, meshing) without repeating the halo exchange."""
+    pack_local, _ = make_local_fns(slayout, axis)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis, None),),
+             out_specs=P(axis, None), check_vma=False)
+    def pack(local_atlas):
+        return pack_local(local_atlas, jax.lax.axis_index(axis))
+
+    return pack
+
+
+def make_banded_sample(mesh: Mesh, axis: str, slayout: ShardedPlaneLayout):
+    """sample(banded_quad (P(axis,None)), p_nor (P())) -> (N, L*4C) repl."""
+    _, sample_local = make_local_fns(slayout, axis)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis, None), P()),
+             out_specs=P(), check_vma=False)
+    def sample(quad_local, p_nor):
+        d = jax.lax.axis_index(axis)
+        return jax.lax.psum(sample_local(quad_local, p_nor, d), axis)
+
+    return sample
+
+
+def make_sharded_sampler(mesh: Mesh, axis: str, slayout: ShardedPlaneLayout):
+    """Build sample(local_atlas_shard, p_nor) -> (N, L*4C) under shard_map.
+
+    The returned function runs per device: halo-exchanged quad packing of
+    the local bands, owned-row gather, masked weighting, and one psum.
+    Differentiable (autodiff under shard_map gives the local scatter +
+    psum transpose).
+    """
+    pack_local, sample_local = make_local_fns(slayout, axis)
 
     @partial(
         shard_map, mesh=mesh,
@@ -203,7 +279,8 @@ def make_sharded_sampler(mesh: Mesh, axis: str, slayout: ShardedPlaneLayout):
     )
     def sample(local_atlas, p_nor):
         d = jax.lax.axis_index(axis)
-        return sample_local(local_atlas, p_nor, d)
+        quad = pack_local(local_atlas, d)
+        return jax.lax.psum(sample_local(quad, p_nor, d), axis)
 
     return sample
 

@@ -33,6 +33,7 @@ from myslam_tpu.ops.plane_sample import (
     pack_quad,
     reduced_row_map,
     sample_fused,
+    sample_quad_reduced,
 )
 
 _row_map_cache: dict = {}
@@ -88,25 +89,32 @@ class FieldQueries:
 
 def make_queries(ms: MapState, scene: SceneGeometry,
                  sdf_quad=None, color_quad=None,
-                 need_color: bool = True) -> FieldQueries:
-    """FieldQueries over packed quad atlases (packs here if not given)."""
+                 need_color: bool = True,
+                 jvp_safe: bool = False) -> FieldQueries:
+    """FieldQueries over packed quad atlases (packs here if not given).
+
+    ``jvp_safe`` samples through the plain differentiable path instead of
+    the hand-VJP kernel — required by forward-mode consumers (the Schur
+    pose system's jacfwd; custom_vjp forbids jvp).  Same forward math.
+    """
     if sdf_quad is None:
         sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
     if need_color and color_quad is None:
         color_quad = pack_quad(ms.color_atlas, scene.color_layout)
     rm_sdf = _row_map(scene.sdf_layout)
     rm_color = _row_map(scene.color_layout)
+    sample = sample_quad_reduced if jvp_safe else sample_fused
     sg = jax.lax.stop_gradient
     dec_ng = sg(ms.decoder)
     sdf_quad_ng = sg(sdf_quad)
     return FieldQueries(
         sdf=lambda p: decode_sdf_corners(
-            ms.decoder, sample_fused(sdf_quad, scene.sdf_layout, p), rm_sdf),
+            ms.decoder, sample(sdf_quad, scene.sdf_layout, p), rm_sdf),
         rgb=(lambda p: decode_rgb_corners(
-            ms.decoder, sample_fused(color_quad, scene.color_layout, p),
+            ms.decoder, sample(color_quad, scene.color_layout, p),
             rm_color)) if need_color else None,
         sdf_ng=lambda p: decode_sdf_corners(
-            dec_ng, sample_fused(sdf_quad_ng, scene.sdf_layout, p), rm_sdf),
+            dec_ng, sample(sdf_quad_ng, scene.sdf_layout, p), rm_sdf),
         beta=ms.decoder["beta"][0],
         beta_ng=dec_ng["beta"][0],
     )

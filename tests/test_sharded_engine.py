@@ -1,0 +1,162 @@
+"""Band-sharded PRODUCT mapper == replicated mapper (full fused frame).
+
+Covers VERDICT r1 items: the sharded path as a frame-level product
+feature, the depth-hole importance branch on the sharded backend, and
+device-side shard/unshard (no host round-trip)."""
+
+import copy
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from myslam_tpu.engine.camera import Camera
+from myslam_tpu.engine.keyframes import make_window_selector
+from myslam_tpu.engine.mapper import make_frame_mapper
+from myslam_tpu.models.decoders import init_decoder_params
+from myslam_tpu.models.planes import make_layout, init_map_state
+from myslam_tpu.parallel.sharded_engine import (
+    ShardedMapGeometry,
+    make_sharded_frame_mapper,
+)
+from myslam_tpu.render.renderer import SceneGeometry
+from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+
+BOUND = [[-1.9, 7.94], [-2.2, 4.52], [-2.5, 2.54]]
+C_DIM = 8
+N_SHARDS = 4
+
+
+@pytest.fixture
+def setup():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(repo, "configs", "Synthetic", "room_smoke.yaml"),
+        DEFAULT_CONFIG)
+    cfg = copy.deepcopy(cfg)
+    cfg["mapping"]["pixels"] = 128
+    cam = Camera(H=40, W=56, fx=30.0, fy=30.0, cx=27.5, cy=19.5)
+    bound = np.asarray(BOUND, np.float32)
+    layout = make_layout(jnp.asarray(bound), [0.48, 0.24], C_DIM)
+    scene = SceneGeometry(layout, layout,
+                          tuple(map(tuple, bound.tolist())),
+                          0.12, 8, 4, True)
+    key = jax.random.PRNGKey(3)
+    ms = init_map_state(key, layout, layout,
+                        init_decoder_params(key, c_dim=C_DIM))
+
+    capacity = 6
+    scratch = capacity - 1
+    w_max = 5
+    rng = np.random.default_rng(0)
+    center = bound.mean(axis=1)
+
+    def pose(dt):
+        c = np.eye(4, dtype=np.float32)
+        c[:3, 3] = center + dt
+        return c
+
+    kf_est = np.stack([pose(rng.normal(scale=0.02, size=3))
+                       for _ in range(capacity)]).astype(np.float32)
+    kf_gt = kf_est.copy()
+    colors = rng.uniform(0, 1, (capacity, cam.H, cam.W, 3)).astype(np.float16)
+    depths = rng.uniform(0.8, 1.6, (capacity, cam.H, cam.W)).astype(
+        np.float32)
+    # depth HOLES in stored keyframes and the current frame -> the
+    # importance (depth-less) branch is live on both backends
+    depths[:, 5:12, 7:20] = 0.0
+
+    color_u8 = (rng.uniform(0, 1, (cam.H, cam.W, 3)) * 255).astype(np.uint8)
+    depth = rng.uniform(0.8, 1.6, (cam.H, cam.W)).astype(np.float32)
+    depth[20:30, 30:45] = 0.0
+    q = 60000.0 / depth.max()
+    depth_u16 = (depth * q).astype(np.uint16)
+    inv_q = 1.0 / q
+
+    n_img = 8
+    est_dev = np.tile(np.eye(4, dtype=np.float32), (n_img, 1, 1))
+    est_dev[5] = pose(np.array([0.01, -0.02, 0.005], np.float32))
+
+    selector = make_window_selector(cam, capacity, window_size=3, w_max=w_max,
+                                    scratch_slot=scratch)
+    return (cfg, cam, scene, ms, capacity, scratch, w_max, selector,
+            kf_est, kf_gt, colors, depths, color_u8, depth_u16, inv_q,
+            est_dev)
+
+
+def _run(mapper, ms, w_max, kf_est, kf_gt, colors, depths, color_u8,
+         depth_u16, inv_q, est_dev):
+    opt_buf = mapper.jit_init(
+        {"map": ms, "poses": jnp.zeros((w_max, 7), jnp.float32)})
+    gt_c2w = jnp.asarray(est_dev[5])
+    return mapper(
+        ms, opt_buf, jnp.asarray(est_dev), jnp.asarray(kf_est),
+        jnp.asarray(kf_gt), jnp.asarray(colors), jnp.asarray(depths),
+        jnp.asarray(color_u8), jnp.asarray(depth_u16), inv_q, gt_c2w,
+        5, 3, jax.random.PRNGKey(11),
+        iters=3, lr_factor=1.0, joint_opt=True, admit=True)
+
+
+def test_banded_roundtrip_on_device(setup):
+    (cfg, cam, scene, ms, *_rest) = setup
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("map",))
+    smg = ShardedMapGeometry(mesh, scene)
+    banded = smg.shard(ms)
+    # device banded layout == the host-side reference layout
+    host = smg.slayout_sdf.shard_atlas(ms.sdf_atlas)
+    np.testing.assert_array_equal(np.asarray(banded.sdf_atlas), host)
+    back = smg.unshard(banded)
+    np.testing.assert_array_equal(np.asarray(back.sdf_atlas),
+                                  np.asarray(ms.sdf_atlas))
+    np.testing.assert_array_equal(np.asarray(back.color_atlas),
+                                  np.asarray(ms.color_atlas))
+
+
+def test_sharded_frame_mapper_matches_replicated(setup, monkeypatch):
+    (cfg, cam, scene, ms, capacity, scratch, w_max, selector,
+     kf_est, kf_gt, colors, depths, color_u8, depth_u16, inv_q,
+     est_dev) = setup
+    # Exact-scatter backward on the replicated side: the bf16 one-hot
+    # route's ~2^-8 gradient noise flips Adam's sign on near-zero-grad
+    # rows, which is real (and harmless) but not what this parity test
+    # measures.
+    import myslam_tpu.ops.plane_sample as ps
+    monkeypatch.setattr(ps, "ONEHOT_MAX_ROWS", 0)
+
+    ref_mapper = make_frame_mapper(
+        cfg, scene, cam, selector, w_max, scratch, importance=True)
+    (ms_ref, _, est_ref, kfe_ref, _, kfc_ref, kfd_ref, losses_ref) = _run(
+        ref_mapper, jax.tree_util.tree_map(jnp.copy, ms), w_max, kf_est,
+        kf_gt, colors, depths, color_u8, depth_u16, inv_q, est_dev)
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("map",))
+    smg = ShardedMapGeometry(mesh, scene)
+    sh_mapper = make_sharded_frame_mapper(
+        cfg, scene, cam, selector, w_max, scratch, smg, importance=True)
+    banded = smg.shard(ms)
+    (banded_out, _, est_sh, kfe_sh, _, kfc_sh, kfd_sh, losses_sh) = _run(
+        sh_mapper, banded, w_max, kf_est, kf_gt, colors, depths,
+        color_u8, depth_u16, inv_q, est_dev)
+    ms_sh = smg.unshard(banded_out)
+
+    np.testing.assert_allclose(np.asarray(losses_sh),
+                               np.asarray(losses_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ms_sh.sdf_atlas),
+                               np.asarray(ms_ref.sdf_atlas),
+                               rtol=2e-3, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ms_sh.color_atlas),
+                               np.asarray(ms_ref.color_atlas),
+                               rtol=2e-3, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(est_sh), np.asarray(est_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kfe_sh), np.asarray(kfe_ref),
+                               rtol=1e-4, atol=1e-5)
+    # admission wrote the scratch imagery into slot 3 on both paths
+    np.testing.assert_allclose(np.asarray(kfc_sh[3]),
+                               np.asarray(kfc_ref[3]), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(kfd_sh[3]),
+                                  np.asarray(kfd_ref[3]))
+    assert np.isfinite(np.asarray(losses_sh)).all()
