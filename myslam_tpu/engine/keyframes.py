@@ -58,20 +58,64 @@ _copy_slot = jax.jit(
 
 
 class KeyframeStore:
-    """Fixed-capacity device-resident keyframe imagery + poses."""
+    """Fixed-capacity keyframe imagery + poses.
 
-    def __init__(self, capacity: int, cam: Camera, color_dtype=jnp.float16):
+    ``device="device"`` (default): imagery lives in device HBM (fast path
+    — the fused mapper reads it in place).  ``device="cpu"`` honors the
+    reference's ``keyframe_device: cpu`` escape hatch
+    (/root/reference/configs/ESLAM.yaml:4): imagery stays HOST-side in
+    its quantized wire format (u8 color, u16 depth + per-slot scale) and
+    only the selected BA window is staged to the device per mapped frame
+    — long sequences (ScanNet scene0000: ~1.4k full-res keyframes, >4 GB)
+    then cost w_max frames of HBM instead of the whole store.  Poses
+    always stay on device (tiny; selection and write-back use them).
+    """
+
+    def __init__(self, capacity: int, cam: Camera, color_dtype=jnp.float16,
+                 device: str = "device"):
         self.capacity = capacity
         self.cam = cam
         self.count = 0
         self.frame_ids: list[int] = []
+        self.host_mode = str(device).lower() in ("cpu", "host")
         # Host-side record of whether each slot's depth map has holes —
         # lets the mapper statically skip the depth-less sampling branch.
         self.has_depthless: list[bool] = [False] * capacity
-        self.colors = jnp.zeros((capacity, cam.H, cam.W, 3), color_dtype)
-        self.depths = jnp.zeros((capacity, cam.H, cam.W), jnp.float32)
+        if self.host_mode:
+            self.colors = None
+            self.depths = None
+            self.colors_u8 = np.zeros((capacity, cam.H, cam.W, 3), np.uint8)
+            self.depths_u16 = np.zeros((capacity, cam.H, cam.W), np.uint16)
+            self.depth_inv_q = np.ones((capacity,), np.float32)
+        else:
+            self.colors = jnp.zeros((capacity, cam.H, cam.W, 3), color_dtype)
+            self.depths = jnp.zeros((capacity, cam.H, cam.W), jnp.float32)
         self.est_c2w = jnp.tile(jnp.eye(4), (capacity, 1, 1))
         self.gt_c2w = jnp.tile(jnp.eye(4), (capacity, 1, 1))
+
+    # -- host-mode (keyframe_device: cpu) ---------------------------------
+
+    def add_host(self, frame_id: int, color_u8, depth_u16, inv_q: float,
+                 has_depthless: bool = True) -> int:
+        """Admit a keyframe's imagery into the HOST store (poses are
+        written by the window mapper's device program)."""
+        if self.count >= self.capacity:
+            raise RuntimeError("keyframe store full")
+        pos = self.count
+        self.colors_u8[pos] = color_u8
+        self.depths_u16[pos] = depth_u16
+        self.depth_inv_q[pos] = inv_q
+        self.has_depthless[pos] = bool(has_depthless)
+        self.frame_ids.append(int(frame_id))
+        self.count += 1
+        return pos
+
+    def window_imagery(self, slots) -> tuple:
+        """Stacked quantized imagery for the given global slots (host
+        gather feeding one H2D stage of the BA window)."""
+        slots = np.asarray(slots, np.int64)
+        return (self.colors_u8[slots], self.depths_u16[slots],
+                self.depth_inv_q[slots])
 
     def write_imagery(self, slot: int, color, depth) -> None:
         """In-place (donated) write of one slot's color+depth."""

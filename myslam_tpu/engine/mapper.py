@@ -385,7 +385,7 @@ def make_frame_mapper(
     def map_frame(ms, opt_buf, est_dev, kf_est, kf_gt, kf_colors,
                   kf_depths, scr_color_u8, scr_depth_u16, inv_q, gt_c2w,
                   idx, count, key, *, iters: int, lr_factor: float,
-                  joint_opt: bool, admit: bool):
+                  joint_opt: bool, admit: bool, on_chunk=None):
         params = {"map": ms, "poses": jnp.zeros((w_max, 7), jnp.float32)}
         sel = (jnp.zeros((w_max,), jnp.int32), jnp.int32(1),
                jnp.zeros((w_max,), jnp.float32))
@@ -404,6 +404,11 @@ def make_frame_mapper(
                 jnp.int32(count), key, jnp.int32(done), lr_scale, jo, ad,
                 chunk=n)
             losses.append(chunk_losses)
+            if on_chunk is not None:
+                # Mid-optimization hook at the chunk boundary (in-loop
+                # visualization, reference Mapper.py:310) — sees the
+                # CURRENT map/poses and the resolved window selection.
+                on_chunk(params, sel, done, done + n)
             done += n
         all_losses = (losses[0] if len(losses) == 1
                       else jnp.concatenate(losses, axis=0))
@@ -413,3 +418,114 @@ def make_frame_mapper(
     map_frame.jit_init = jit_init
     map_frame.chunk_iters = chunk_iters
     return map_frame
+
+
+def make_window_frame_mapper(
+    cfg: dict,
+    scene: SceneGeometry,
+    cam: Camera,
+    w_max: int,
+    ray_sharding=None,
+    importance: bool = True,
+):
+    """Fused mapped frame over a HOST-STAGED window (keyframe_device: cpu).
+
+    Selection runs as its own small device program (it needs only poses
+    and the current depth — reference Mapper.py:146-209); the host then
+    gathers the selected slots' quantized imagery from the CPU store and
+    stages ONE (w_max, H, W) window to the device; this program runs the
+    BA scan + pose write-back with the window indexed in selection order
+    (reference keyframe_device handling, Mapper.py:268-287).  Keyframe
+    imagery admission is host-side; pose admission happens here.
+
+    Returns window_map(ms, opt_buf, est_dev, kf_est, kf_gt, slot_kf,
+                       n_slots, pose_mask, win_colors_u8, win_depths_u16,
+                       win_inv_q (w_max,), gt_c2w, idx, count, key, *,
+                       iters, lr_factor, joint_opt, admit, on_chunk)
+      -> (ms, opt_buf, est_dev, kf_est, kf_gt, losses)
+    """
+    from myslam_tpu.core.quaternion import matrix_to_cam_pose
+
+    m = cfg["mapping"]
+    loss_fn, optimizer = _build_core(
+        cfg, scene, cam, ray_sharding=ray_sharding, importance=importance)
+    win_slot_ids = jnp.arange(w_max, dtype=jnp.int32)  # identity indexing
+
+    def run_chunk(params, opt_state, est_dev, kf_est, kf_gt, slot_kf,
+                  n_slots, pose_mask, win_colors_u8, win_depths_u16,
+                  win_inv_q, gt_c2w, idx, count, key, start, lr_scale,
+                  joint_opt, admit, chunk: int):
+        win_colors = (win_colors_u8.astype(jnp.float32) * (1.0 / 255.0)
+                      ).astype(jnp.float16)
+        win_depths = (win_depths_u16.astype(jnp.float32)
+                      * win_inv_q[:, None, None])
+
+        def init_fn(op):
+            params, opt_state = op
+            c2ws = kf_est[slot_kf]
+            is_cur = jnp.arange(w_max) == n_slots - 1
+            c2ws = jnp.where(is_cur[:, None, None], est_dev[idx][None],
+                             c2ws)
+            params = {"map": params["map"],
+                      "poses": matrix_to_cam_pose(c2ws)}
+            return params, optimizer.init(params)
+
+        params, opt_state = jax.lax.cond(
+            start == 0, init_fn, lambda op: op, (params, opt_state))
+
+        params, opt_state, losses = _scan_steps(
+            loss_fn, optimizer, params, opt_state, pose_mask, win_slot_ids,
+            n_slots, win_colors, win_depths, key, start, lr_scale, chunk)
+
+        # Pose write-back (global slot ids) + pose-only admission; the
+        # imagery admission happens host-side in the scheduler.
+        c2ws_out = cam_pose_to_matrix(params["poses"])
+        old = kf_est[slot_kf]
+        kf_est = kf_est.at[slot_kf].set(
+            jnp.where(pose_mask[:, None, None] > 0, c2ws_out, old))
+        cur = c2ws_out[n_slots - 1]
+        est_dev = est_dev.at[idx].set(
+            jnp.where(joint_opt > 0, cur, est_dev[idx]))
+        kf_est = kf_est.at[count].set(
+            jnp.where(admit > 0, est_dev[idx], kf_est[count]))
+        kf_gt = kf_gt.at[count].set(
+            jnp.where(admit > 0, gt_c2w, kf_gt[count]))
+        return params, opt_state, est_dev, kf_est, kf_gt, losses
+
+    chunk_iters = int(m.get("chunk_iters", 0)) or int(m["iters"])
+    jit_chunk = jax.jit(
+        run_chunk, static_argnames=("chunk",),
+        donate_argnums=(0, 1, 2, 3, 4))
+    jit_init = jax.jit(optimizer.init)
+
+    def window_map(ms, opt_buf, est_dev, kf_est, kf_gt, slot_kf, n_slots,
+                   pose_mask, win_colors_u8, win_depths_u16, win_inv_q,
+                   gt_c2w, idx, count, key, *, iters: int,
+                   lr_factor: float, joint_opt: bool, admit: bool,
+                   on_chunk=None):
+        params = {"map": ms, "poses": jnp.zeros((w_max, 7), jnp.float32)}
+        sel = (slot_kf, n_slots, pose_mask)
+        lr_scale = jnp.float32(lr_factor)
+        jo = jnp.float32(1.0 if joint_opt else 0.0)
+        ad = jnp.float32(1.0 if admit else 0.0)
+        losses = []
+        done = 0
+        while done < iters:
+            n = min(chunk_iters, iters - done)
+            (params, opt_buf, est_dev, kf_est, kf_gt,
+             chunk_losses) = jit_chunk(
+                params, opt_buf, est_dev, kf_est, kf_gt, slot_kf,
+                n_slots, pose_mask, win_colors_u8, win_depths_u16,
+                win_inv_q, gt_c2w, jnp.int32(idx), jnp.int32(count), key,
+                jnp.int32(done), lr_scale, jo, ad, chunk=n)
+            losses.append(chunk_losses)
+            if on_chunk is not None:
+                on_chunk(params, sel, done, done + n)
+            done += n
+        all_losses = (losses[0] if len(losses) == 1
+                      else jnp.concatenate(losses, axis=0))
+        return (params["map"], opt_buf, est_dev, kf_est, kf_gt, all_losses)
+
+    window_map.jit_init = jit_init
+    window_map.chunk_iters = chunk_iters
+    return window_map

@@ -183,7 +183,17 @@ class SLAMSystem:
             # the imagery buffers placed so each device holds only its
             # own keyframes (the multi-host analog: per-host frames).
             capacity = -(-capacity // self.kf_shards) * self.kf_shards
-        self.store = KeyframeStore(capacity, self.cam)
+        # keyframe_device: cpu (reference configs/ESLAM.yaml:4) — imagery
+        # stays host-side; only the BA window is staged per mapped frame.
+        self.keyframe_device = str(
+            cfg.get("keyframe_device", "device")).lower()
+        host_kf = self.keyframe_device in ("cpu", "host")
+        if host_kf and (self.kf_shards > 1 or self.map_shards > 1):
+            raise ValueError(
+                "keyframe_device: cpu composes with ray DP only "
+                "(kf/map sharding keeps imagery on the mesh)")
+        self.store = KeyframeStore(
+            capacity, self.cam, device="cpu" if host_kf else "device")
         self.scratch_slot = self.store.capacity - 1
         self.w_max = self.window_size + 2  # selected + last two + current
         if self.kf_shards > 1:
@@ -208,6 +218,15 @@ class SLAMSystem:
         self._select_window = make_window_selector(
             self.cam, self.store.capacity, self.window_size, self.w_max,
             self.scratch_slot, method=self.keyframe_selection_method)
+        # Host-keyframe mode runs selection as its own program (the fused
+        # mapper's in-program selection needs device-resident imagery);
+        # the key fold matches the fused path for draw-for-draw parity.
+        self._select_host_jit = jax.jit(
+            lambda kf_est, count, est_dev, idx, d_u16, inv_q, key, jo:
+            self._select_window(
+                kf_est, count, est_dev[idx],
+                d_u16.astype(jnp.float32) * inv_q,
+                jax.random.fold_in(key, 0x7FFFFFFF), jo))
         # Mapper variants by importance-branch only: the first-frame and
         # steady schedules share each variant's compiled program (iteration
         # count is a host chunk loop; lr factor is traced).  The
@@ -217,7 +236,14 @@ class SLAMSystem:
         # admission) — see make_frame_mapper.
         self._mappers = {}
         for imp in (False, True):
-            if self.sharded_geom is not None:
+            if self.store.host_mode:
+                from myslam_tpu.engine.mapper import (
+                    make_window_frame_mapper,
+                )
+                self._mappers[imp] = make_window_frame_mapper(
+                    cfg, self.scene, self.cam, self.w_max,
+                    ray_sharding=self.ray_sharding, importance=imp)
+            elif self.sharded_geom is not None:
                 from myslam_tpu.parallel.sharded_engine import (
                     make_sharded_frame_mapper,
                 )
@@ -354,6 +380,44 @@ class SLAMSystem:
         self.store.colors = jax.device_put(self.store.colors, sh)
         self.store.depths = jax.device_put(self.store.depths, sh)
 
+    def _make_map_vis_hook(self, idx: int, pkt, iters: int):
+        """In-loop mapping visualization (vis_inside_freq, reference
+        Mapper.py:310, Frame_Visualizer.py:67): the iteration-0 panel is
+        rendered against the pre-mapping map at the tracked pose, and the
+        chunked mapper's host re-entry emits a panel whenever a chunk
+        boundary crosses a multiple of inside_freq (the reference's
+        schedules put those multiples only in the 1000-iteration
+        first-frame loop).  Returns the on_chunk callback, or None when
+        the frame is not a vis frame."""
+        if (idx % self.map_vis.freq != 0
+                or (idx == 0 and self.no_vis_on_first_frame)
+                or pkt.color_u8 is None):
+            return None
+        from myslam_tpu.core.quaternion import cam_pose_to_matrix
+
+        gt_depth = pkt.depth_u16.astype(np.float32) * pkt.depth_inv_q
+        gt_color = pkt.color_u8.astype(np.float32) / 255.0
+        self.map_vis.save_imgs(idx, 0, gt_depth, gt_color,
+                               self._est_dev[idx], self.map_state,
+                               self._next_key())
+        f = self.map_vis.inside_freq
+
+        def on_chunk(params, sel, prev_done, done):
+            m = (prev_done // f + 1) * f
+            if m > done or m >= iters:
+                return
+            ms_vis = params["map"]
+            if self.sharded_geom is not None:
+                ms_vis = self.sharded_geom.unshard(ms_vis)
+            _, n_slots, _ = sel
+            c2w = cam_pose_to_matrix(params["poses"])[int(n_slots) - 1]
+            while m <= done and m < iters:
+                self.map_vis.save_imgs(idx, int(m), gt_depth, gt_color,
+                                       c2w, ms_vis, self._next_key())
+                m += f
+
+        return on_chunk
+
     def _mapper_state(self):
         """The map representation the frame mapper consumes: banded under
         map sharding (lazily derived from the replicated canonical state,
@@ -379,12 +443,19 @@ class SLAMSystem:
         # result (the depth-less branch is selected per-ray by mask).
         needs_importance = cur_has_depthless or any(
             self.store.has_depthless[:self.store.count])
+        if self.store.host_mode:
+            losses = self._map_frame_host(
+                idx, pkt, first, cur_has_depthless, joint_opt, admit,
+                needs_importance)
+            return self._post_map(idx, losses, t0)
         mapper = self._mappers[needs_importance]
         ms_in = self._mapper_state()
         if self._opt_buf is None:
             self._opt_buf = mapper.jit_init(
                 {"map": ms_in,
                  "poses": jnp.zeros((self.w_max, 7), jnp.float32)})
+        iters = self._iters_first if first else self._iters
+        on_chunk = self._make_map_vis_hook(idx, pkt, iters)
         (ms_out, self._opt_buf, self._est_dev, self.store.est_c2w,
          self.store.gt_c2w, self.store.colors, self.store.depths,
          losses) = mapper(
@@ -394,9 +465,9 @@ class SLAMSystem:
             jnp.asarray(pkt.depth_u16), pkt.depth_inv_q,
             jnp.asarray(pkt.gt_c2w), idx, self.store.count,
             self._next_key(),
-            iters=self._iters_first if first else self._iters,
+            iters=iters,
             lr_factor=self._lr_first_factor if first else self._lr_factor,
-            joint_opt=joint_opt, admit=admit)
+            joint_opt=joint_opt, admit=admit, on_chunk=on_chunk)
         if self.sharded_geom is not None:
             # Banded state stays canonical for mapping; the replicated
             # view (tracker/visualizer/mesher/checkpoints) is ONE atlas
@@ -408,19 +479,59 @@ class SLAMSystem:
         if admit:
             # Buffers were written by the device program; record the slot.
             self.store.note_admitted(idx, has_depthless=cur_has_depthless)
+        return self._post_map(idx, losses, t0)
 
+    def _map_frame_host(self, idx, pkt, first, cur_has_depthless,
+                        joint_opt, admit, needs_importance):
+        """Mapped frame with keyframe_device: cpu — device-side window
+        selection, host gather of the selected slots' quantized imagery,
+        one staged window upload, fused BA program, host admission."""
+        mapper = self._mappers[needs_importance]
+        key = self._next_key()
+        sel = self._select_host_jit(
+            self.store.est_c2w, jnp.int32(self.store.count),
+            self._est_dev, jnp.int32(idx), jnp.asarray(pkt.depth_u16),
+            jnp.float32(pkt.depth_inv_q), key,
+            jnp.float32(1.0 if joint_opt else 0.0))
+        slot_kf = np.asarray(sel[0])
+        n_slots = int(sel[1])
+        win_u8 = np.zeros((self.w_max,) + pkt.color_u8.shape, np.uint8)
+        win_u16 = np.zeros((self.w_max,) + pkt.depth_u16.shape, np.uint16)
+        win_q = np.ones((self.w_max,), np.float32)
+        if n_slots > 1:
+            sl = slot_kf[:n_slots - 1]
+            win_u8[:n_slots - 1], win_u16[:n_slots - 1], win_q[:n_slots - 1] \
+                = self.store.window_imagery(sl)
+        win_u8[n_slots - 1] = pkt.color_u8
+        win_u16[n_slots - 1] = pkt.depth_u16
+        win_q[n_slots - 1] = pkt.depth_inv_q
+
+        if self._opt_buf is None:
+            self._opt_buf = mapper.jit_init(
+                {"map": self.map_state,
+                 "poses": jnp.zeros((self.w_max, 7), jnp.float32)})
+        iters = self._iters_first if first else self._iters
+        on_chunk = self._make_map_vis_hook(idx, pkt, iters)
+        (self.map_state, self._opt_buf, self._est_dev, self.store.est_c2w,
+         self.store.gt_c2w, losses) = mapper(
+            self.map_state, self._opt_buf, self._est_dev,
+            self.store.est_c2w, self.store.gt_c2w, sel[0], sel[1],
+            sel[2], jnp.asarray(win_u8), jnp.asarray(win_u16),
+            jnp.asarray(win_q), jnp.asarray(pkt.gt_c2w), idx,
+            self.store.count, key, iters=iters,
+            lr_factor=self._lr_first_factor if first else self._lr_factor,
+            joint_opt=joint_opt, admit=admit, on_chunk=on_chunk)
+        if admit:
+            self.store.add_host(idx, pkt.color_u8, pkt.depth_u16,
+                                pkt.depth_inv_q,
+                                has_depthless=cur_has_depthless)
+        return losses
+
+    def _post_map(self, idx: int, losses, t0: float) -> dict:
         dt = time.time() - t0
 
         # Post-mapping bookkeeping at the reference's frequencies
-        # (src/Mapper.py:437-457).  In-loop visualization is emitted once
-        # per mapped frame (the per-iteration hook does not exist inside a
-        # jitted scan); imagery is only fetched when the freq gate passes.
-        if (idx % self.map_vis.freq == 0
-                and not (idx == 0 and self.no_vis_on_first_frame)):
-            self.map_vis.save_imgs(
-                idx, 0, self.store.depths[self.scratch_slot],
-                self.store.colors[self.scratch_slot],
-                self._est_dev[idx], self.map_state, self._next_key())
+        # (src/Mapper.py:437-457).
         if ((not (idx == 0 and self.no_log_on_first_frame))
                 and idx % self.ckpt_freq == 0 and idx != self.n_img - 1):
             # The final checkpoint is written after the loop (run()) so the
@@ -456,13 +567,30 @@ class SLAMSystem:
         return cull_mesh(path, self.cfg, frames,
                          estimate_c2w_list=est_np[:upto])
 
-    def _maybe_track_vis(self, idx: int, pkt, c2w) -> None:
-        if idx % self.track_vis.freq == 0 and pkt.color_u8 is not None:
-            self.track_vis.save_imgs(
-                idx, 0,
-                pkt.depth_u16.astype(np.float32) * pkt.depth_inv_q,
-                pkt.color_u8.astype(np.float32) / 255.0,
-                c2w, self.map_state, self._next_key())
+    def _maybe_track_vis(self, idx: int, pkt, c2w,
+                         iter_poses=None) -> None:
+        """Per-iteration tracking panels (reference Frame_Visualizer.py:67,
+        Tracker.py:165-167): the map is frozen during tracking, so
+        rendering the recorded pre-update pose of iteration k after the
+        fact is EXACTLY the reference's in-loop panel for iteration k."""
+        if idx % self.track_vis.freq != 0 or pkt.color_u8 is None:
+            return
+        from myslam_tpu.core.quaternion import cam_pose_to_matrix
+
+        gt_depth = pkt.depth_u16.astype(np.float32) * pkt.depth_inv_q
+        gt_color = pkt.color_u8.astype(np.float32) / 255.0
+        if iter_poses is None:
+            self.track_vis.save_imgs(idx, 0, gt_depth, gt_color, c2w,
+                                     self.map_state, self._next_key())
+            return
+        n_it = int(iter_poses.shape[0])
+        c2ws_it = None
+        for it in range(0, n_it, self.track_vis.inside_freq):
+            if c2ws_it is None:  # one conversion for all emitted panels
+                c2ws_it = cam_pose_to_matrix(iter_poses)
+            self.track_vis.save_imgs(idx, it, gt_depth, gt_color,
+                                     c2ws_it[it], self.map_state,
+                                     self._next_key())
 
     def _run_track_group(self, buf) -> None:
         """Dispatch one fused tracking program for a full every_frame group
@@ -475,7 +603,8 @@ class SLAMSystem:
         px_j = jnp.stack([jnp.asarray(p.px_j) for _, p, _ in buf])
         px_color = jnp.stack([jnp.asarray(p.px_color) for _, p, _ in buf])
         px_depth = jnp.stack([jnp.asarray(p.px_depth) for _, p, _ in buf])
-        self._est_dev, c2ws, loss_first, loss_best = self.group_tracker(
+        (self._est_dev, c2ws, loss_first, loss_best,
+         iter_poses) = self.group_tracker(
             self.map_state, self._est_dev, jnp.int32(idx0),
             px_i, px_j, px_color, px_depth, self._next_key())
         ms_per_frame = (time.time() - t0) * 1e3 / len(buf)
@@ -483,7 +612,7 @@ class SLAMSystem:
             rec["track_loss_first"] = (loss_first, g)
             rec["track_loss_best"] = (loss_best, g)
             rec["track_ms"] = ms_per_frame
-            self._maybe_track_vis(idx, pkt, c2ws[g])
+            self._maybe_track_vis(idx, pkt, c2ws[g], iter_poses[g])
 
     def _flush_track_buf(self, open_rec: dict | None = None) -> None:
         """Track all buffered frames (fused when the buffer is a full
@@ -525,12 +654,13 @@ class SLAMSystem:
         t0 = time.time()
         # ONE device program: pose init + 8-iter optimization + trajectory
         # write-back (est_dev donated).
-        self._est_dev, c2w, loss_first, loss_best = self.tracker(
+        (self._est_dev, c2w, loss_first, loss_best,
+         iter_poses) = self.tracker(
             self.map_state, self._est_dev, jnp.int32(idx),
             jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
             jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth),
             self._next_key())
-        self._maybe_track_vis(idx, pkt, c2w)
+        self._maybe_track_vis(idx, pkt, c2w, iter_poses)
         dt = time.time() - t0
         return {
             "track_loss_first": loss_first,

@@ -139,13 +139,17 @@ def make_track_core(cfg: dict, scene: SceneGeometry, cam: Camera,
             best_loss = jnp.minimum(loss, best_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, best_loss, best_pose), loss
+            # ``pose`` is the pre-update pose whose loss was just
+            # evaluated -- recording it lets vis_inside_freq panels be
+            # rendered post-hoc with EXACT in-loop semantics (the map is
+            # frozen during tracking), reference Frame_Visualizer.py:67.
+            return (params, opt_state, best_loss, best_pose), (loss, pose)
 
         carry0 = (params0, opt0, jnp.inf, pose_init)
-        (_, _, _, best_pose), losses = jax.lax.scan(
+        (_, _, _, best_pose), (losses, iter_poses) = jax.lax.scan(
             step, carry0, (jnp.arange(iters), px_i, px_j, px_color, px_depth)
         )
-        return best_pose, losses
+        return best_pose, losses, iter_poses
 
     core.map_bf16 = map_bf16
     return core
@@ -170,7 +174,7 @@ def make_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
               px_i, px_j, px_color, px_depth, key):
         quads = _pack_tracking_quads(ms, scene, core.map_bf16)
         return core(ms, quads, pose_init, px_i, px_j, px_color, px_depth,
-                    key)
+                    key)  # (best_pose, losses, iter_poses)
 
     return jax.jit(track)
 
@@ -187,7 +191,7 @@ def make_frame_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
 
     Returns track_frame(ms, est_c2w (n,4,4) [donated], idx, px_i, px_j,
                         px_color, px_depth, key)
-      -> (est_c2w', c2w (4,4), loss_first, loss_best)
+      -> (est_c2w', c2w (4,4), loss_first, loss_best, iter_poses (iters,7))
     """
     from myslam_tpu.core.quaternion import matrix_to_cam_pose
 
@@ -203,11 +207,11 @@ def make_frame_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
             pose_init = jnp.where(idx >= 2, 2.0 * prev - prev_prev, prev)
         else:
             pose_init = prev
-        best_pose, losses = track(ms, pose_init, px_i, px_j, px_color,
-                                  px_depth, key)
+        best_pose, losses, iter_poses = track(
+            ms, pose_init, px_i, px_j, px_color, px_depth, key)
         c2w = cam_pose_to_matrix(best_pose[None])[0]
         est_c2w = est_c2w.at[idx].set(c2w)
-        return est_c2w, c2w, losses[0], jnp.min(losses)
+        return est_c2w, c2w, losses[0], jnp.min(losses), iter_poses
 
     return jax.jit(track_frame, donate_argnums=(1,))
 
@@ -232,7 +236,8 @@ def make_group_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
     Returns track_group(ms, est_c2w (n,4,4) [donated], idx0,
                         px_i (G,iters,n), px_j, px_color (G,iters,n,3) u8,
                         px_depth (G,iters,n), key)
-      -> (est_c2w', c2ws (G,4,4), loss_first (G,), loss_best (G,))
+      -> (est_c2w', c2ws (G,4,4), loss_first (G,), loss_best (G,),
+          iter_poses (G, iters, 7))
     where idx0 is the first tracked frame of the group (>= 1).
     """
     from myslam_tpu.core.quaternion import matrix_to_cam_pose
@@ -257,19 +262,19 @@ def make_group_tracker(cfg: dict, scene: SceneGeometry, cam: Camera,
                 pose_init = 2.0 * prev - prev_prev
             else:
                 pose_init = prev
-            best_pose, losses = core(
+            best_pose, losses, iter_poses = core(
                 ms, quads, pose_init, i, j, col, dep,
                 jax.random.fold_in(key, idx))
             return (best_pose, prev), (best_pose, losses[0],
-                                       jnp.min(losses))
+                                       jnp.min(losses), iter_poses)
 
         idxs = idx0 + jnp.arange(G)
-        (_, _), (poses, loss_first, loss_best) = jax.lax.scan(
+        (_, _), (poses, loss_first, loss_best, iter_poses) = jax.lax.scan(
             step, (prev0, prev_prev0), (idxs, px_i, px_j, px_color,
                                         px_depth))
         c2ws = cam_pose_to_matrix(poses)  # (G, 4, 4)
         est_c2w = jax.lax.dynamic_update_slice(
             est_c2w, c2ws, (idx0, jnp.int32(0), jnp.int32(0)))
-        return est_c2w, c2ws, loss_first, loss_best
+        return est_c2w, c2ws, loss_first, loss_best, iter_poses
 
     return jax.jit(track_group, donate_argnums=(1,))

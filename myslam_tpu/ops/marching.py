@@ -320,7 +320,6 @@ def extract_isosurface(
     spacing,
     level: float = 0.0,
     slab_cells: int = 2_000_000,
-    max_tris_per_slab: int | None = None,  # kept for API compat; unused
 ):
     """Extract a triangle mesh from a dense SDF volume.
 

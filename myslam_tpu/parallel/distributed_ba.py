@@ -596,7 +596,7 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
     def map_frame(ms, opt_buf, est_dev, kf_est, kf_gt, kf_colors,
                   kf_depths, scr_color_u8, scr_depth_u16, inv_q, gt_c2w,
                   idx, count, key, *, iters: int, lr_factor: float,
-                  joint_opt: bool, admit: bool):
+                  joint_opt: bool, admit: bool, on_chunk=None):
         params = {"map": ms, "poses": jnp.zeros((w_max, 7), jnp.float32)}
         sel = (jnp.zeros((w_max,), jnp.int32), jnp.int32(1),
                jnp.zeros((w_max,), jnp.float32))
@@ -615,6 +615,8 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
                 jnp.int32(count), key, jnp.int32(done), lr_scale, jo, ad,
                 chunk=n)
             losses.append(chunk_losses)
+            if on_chunk is not None:
+                on_chunk(params, sel, done, done + n)
             done += n
         all_losses = (losses[0] if len(losses) == 1
                       else jnp.concatenate(losses, axis=0))

@@ -126,14 +126,22 @@ def _check_proj_sees(points, W, H, fx, fy, cx, cy, c2w):
     return mask.sum() > 0
 
 
-def _interior_box(gv: np.ndarray):
-    """View-sampling volume: shrunk AABB of the GT mesh (the reference
-    shrinks an oriented bounding box, eval_recon.py:115-125)."""
-    lo, hi = gv.min(0), gv.max(0)
-    center = 0.5 * (lo + hi)
-    ext = (hi - lo) * np.array([0.3, 0.7, 0.7])
-    center = center + np.array([0.0, 0.0, 0.4])
-    return ext, center
+def _get_cam_position(gv: np.ndarray):
+    """View-sampling volume: shrunken ORIENTED bounding box of the GT
+    mesh + world-z lift, matching the reference protocol
+    (eval_recon.py:116-124: oriented_bounds extents scaled by
+    [0.3, 0.7, 0.7], transform[2, 3] += 0.4).  Returns (extents,
+    box-to-world transform)."""
+    from myslam_tpu.utils.meshmath import oriented_bounds
+
+    to_origin, extents = oriented_bounds(gv)
+    extents = extents.copy()
+    extents[0] *= 0.3
+    extents[1] *= 0.7
+    extents[2] *= 0.7
+    transform = np.linalg.inv(to_origin)
+    transform[2, 3] += 0.4
+    return extents, transform
 
 
 def calc_2d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
@@ -158,12 +166,13 @@ def calc_2d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
     gt_tris = gv[gf]
     render = make_depth_rasterizer(H, W, fx, fy, cx, cy)
 
-    ext, center = _interior_box(gv)
+    ext, box2world = _get_cam_position(gv)
     up = np.array([0.0, 0.0, -1.0])
     errors = []
     for _ in range(n_imgs):
         for _attempt in range(100):
-            origin = center + (rng.uniform(-0.5, 0.5, 3) * ext)
+            o_box = rng.uniform(-0.5, 0.5, 3) * ext
+            origin = box2world[:3, :3] @ o_box + box2world[:3, 3]
             target = rng.uniform(-10000, 10000, 3) - origin
             c2w = _viewmatrix(target, up, origin)
             if pc_unseen is None or not _check_proj_sees(

@@ -53,12 +53,12 @@ def main():
     # --- tracking step (full fused frame program) ---
     key = jax.random.PRNGKey(0)
     est = slam._est_dev
-    est, c2w, lf, lb = slam.tracker(
+    est, c2w, lf, lb, _ = slam.tracker(
         slam.map_state, est, jnp.int32(1), *targs, key)
     fetch(lb)
     t0 = time.time()
     for k in range(args.iters):
-        est, c2w, lf, lb = slam.tracker(
+        est, c2w, lf, lb, _ = slam.tracker(
             slam.map_state, est, jnp.int32(1), *targs,
             jax.random.fold_in(key, k))
     fetch(lb)

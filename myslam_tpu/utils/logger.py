@@ -30,16 +30,23 @@ def save_checkpoint(path: str, slam, idx: int) -> str:
     # precision anyway) and uint16 depth (per-checkpoint scale, <0.1 mm
     # quantization) so the fetch is ~130 MB instead of ~260 MB.
     n = store.count
-    colors_u8 = jnp.clip(jnp.round(
-        store.colors[:n].astype(jnp.float32) * 255.0), 0, 255
-    ).astype(jnp.uint8)
-    dmax = float(jnp.max(store.depths[:n])) if n else 1.0
-    dq = 60000.0 / max(dmax, 1e-3)
-    # valid (>0) depths never quantize to 0 (0 encodes "no depth")
-    depths_u16 = jnp.where(
-        store.depths[:n] > 0,
-        jnp.clip(jnp.round(store.depths[:n] * dq), 1, 65535),
-        0).astype(jnp.uint16)
+    if getattr(store, "host_mode", False):
+        # keyframe_device: cpu — imagery is already quantized host-side
+        colors_u8 = store.colors_u8[:n]
+        depths_u16 = store.depths_u16[:n]
+        inv_q = store.depth_inv_q[:n].astype(np.float32)
+    else:
+        colors_u8 = jnp.clip(jnp.round(
+            store.colors[:n].astype(jnp.float32) * 255.0), 0, 255
+        ).astype(jnp.uint8)
+        dmax = float(jnp.max(store.depths[:n])) if n else 1.0
+        dq = 60000.0 / max(dmax, 1e-3)
+        # valid (>0) depths never quantize to 0 (0 encodes "no depth")
+        depths_u16 = jnp.where(
+            store.depths[:n] > 0,
+            jnp.clip(jnp.round(store.depths[:n] * dq), 1, 65535),
+            0).astype(jnp.uint16)
+        inv_q = np.float32(1.0 / dq)
     # Uncompressed npz: zlib over the (mostly incompressible) imagery
     # costs seconds per save on a 2-core host for <2x size.
     np.savez(
@@ -54,7 +61,7 @@ def save_checkpoint(path: str, slam, idx: int) -> str:
         keyframe_list=np.asarray(store.frame_ids, np.int64),
         kf_colors_u8=np.asarray(colors_u8),
         kf_depths_u16=np.asarray(depths_u16),
-        kf_depth_inv_q=np.float32(1.0 / dq),
+        kf_depth_inv_q=np.asarray(inv_q),
         kf_est_c2w=np.asarray(store.est_c2w[:n]),
         kf_gt_c2w=np.asarray(store.gt_c2w[:n]),
         kf_has_depthless=np.asarray(store.has_depthless[:n]),
@@ -84,21 +91,35 @@ def load_checkpoint(path: str, slam) -> int:
     n = len(data["keyframe_list"])
     store.count = 0
     store.frame_ids = []
-    if "kf_colors_u8" in data:
-        colors = data["kf_colors_u8"].astype(np.float32) / 255.0
-        depths = (data["kf_depths_u16"].astype(np.float32)
-                  * float(data["kf_depth_inv_q"]))
-    else:  # pre-quantization checkpoints
-        colors, depths = data["kf_colors"], data["kf_depths"]
-    for k in range(n):
-        store.add(
-            int(data["keyframe_list"][k]),
-            jnp.asarray(colors[k]),
-            jnp.asarray(depths[k]),
-            jnp.asarray(data["kf_est_c2w"][k]),
-            jnp.asarray(data["kf_gt_c2w"][k]),
-            has_depthless=bool(data["kf_has_depthless"][k]),
-        )
+    inv_q = np.broadcast_to(
+        np.asarray(data.get("kf_depth_inv_q", 1.0), np.float32), (n,)) \
+        if n else np.zeros((0,), np.float32)
+    if getattr(store, "host_mode", False):
+        for k in range(n):
+            store.add_host(
+                int(data["keyframe_list"][k]), data["kf_colors_u8"][k],
+                data["kf_depths_u16"][k], float(inv_q[k]),
+                has_depthless=bool(data["kf_has_depthless"][k]))
+        store.est_c2w = store.est_c2w.at[:n].set(
+            jnp.asarray(data["kf_est_c2w"]))
+        store.gt_c2w = store.gt_c2w.at[:n].set(
+            jnp.asarray(data["kf_gt_c2w"]))
+    else:
+        if "kf_colors_u8" in data:
+            colors = data["kf_colors_u8"].astype(np.float32) / 255.0
+            depths = (data["kf_depths_u16"].astype(np.float32)
+                      * inv_q[:, None, None])
+        else:  # pre-quantization checkpoints
+            colors, depths = data["kf_colors"], data["kf_depths"]
+        for k in range(n):
+            store.add(
+                int(data["keyframe_list"][k]),
+                jnp.asarray(colors[k]),
+                jnp.asarray(depths[k]),
+                jnp.asarray(data["kf_est_c2w"][k]),
+                jnp.asarray(data["kf_gt_c2w"][k]),
+                has_depthless=bool(data["kf_has_depthless"][k]),
+            )
     slam.key = jnp.asarray(data["rng_key"])
     return int(data["idx"]) + 1
 

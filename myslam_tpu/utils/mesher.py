@@ -61,7 +61,24 @@ def backproject_keyframes(store, cam, stride: int = 8) -> np.ndarray:
     """Point cloud of keyframe depths (subsampled) + camera centers.
 
     One jitted program + one fetch for the whole store (per-slot host
-    round-trips cost ~30 ms each through the remote-device link)."""
+    round-trips cost ~30 ms each through the remote-device link).
+    With keyframe_device: cpu the depths live host-side quantized —
+    dequantize + subsample in numpy (no device staging needed; the
+    backprojection is trivial next to hull construction)."""
+    if getattr(store, "host_mode", False):
+        n = store.count
+        est = np.asarray(store.est_c2w)[:n]
+        d = (store.depths_u16[:n, ::stride, ::stride].astype(np.float32)
+             * store.depth_inv_q[:n, None, None])
+        j, i = np.meshgrid(
+            np.arange(0, cam.H, stride, dtype=np.float32),
+            np.arange(0, cam.W, stride, dtype=np.float32), indexing="ij")
+        dirs = np.stack([(i - cam.cx) / cam.fx, -(j - cam.cy) / cam.fy,
+                         -np.ones_like(i)], axis=-1)  # (h, w, 3)
+        pts = (np.einsum("khwj,kij->khwi", dirs[None] * d[..., None],
+                         est[:, :3, :3]) + est[:, None, None, :3, 3])
+        cams = est[:, :3, 3]
+        return np.concatenate([pts[d > 0], cams], axis=0)
     pts_all, d_all = _backproject_all(
         store.est_c2w, store.depths, cam.fx, cam.fy, cam.cx, cam.cy,
         cam.H, cam.W, stride)

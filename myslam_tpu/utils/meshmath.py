@@ -149,3 +149,88 @@ def make_depth_rasterizer(H: int, W: int, fx, fy, cx, cy,
         return out
 
     return render
+
+
+def _min_area_rect(xy: np.ndarray):
+    """Rotating-calipers minimum-area rectangle of 2-D points.
+
+    Returns (angle, area, (w, h)): rotating by -angle axis-aligns the
+    rectangle.  The optimum is aligned with some convex-hull edge."""
+    from scipy.spatial import ConvexHull
+
+    hull = xy[ConvexHull(xy).vertices]
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]),
+                              0.5 * np.pi))
+    best = None
+    for a in angles:
+        c, s = np.cos(a), np.sin(a)
+        R = np.array([[c, s], [-s, c]])
+        p = hull @ R.T
+        w, h = np.ptp(p, axis=0)
+        if best is None or w * h < best[1]:
+            best = (a, w * h, (w, h))
+    return best
+
+
+def oriented_bounds(points: np.ndarray):
+    """Minimal-volume oriented bounding box (hull-facet heuristic — the
+    same family as trimesh.bounds.oriented_bounds, which the reference
+    uses for its 2-D-metric camera sampling volume, eval_recon.py:117-124):
+    for every convex-hull facet orientation, rotate the facet normal to
+    +z and solve the projected 2-D minimum-area rectangle; keep the
+    minimum-volume candidate.
+
+    Returns (to_origin (4, 4), extents (3,)): ``to_origin`` maps world
+    points into the box frame (centered at the origin), with axes
+    ordered so extents are sorted LARGEST to smallest (trimesh's
+    ``ordered=True`` convention) and the frame right-handed.
+    """
+    from scipy.spatial import ConvexHull
+
+    points = np.asarray(points, np.float64)
+    hull = ConvexHull(points)
+    hp = points[hull.vertices]
+    normals = hull.equations[:, :3]
+    seen = set()
+    best = None
+    for n in normals:
+        # dedupe facet orientations (+n / -n give the same slab)
+        key = tuple(np.round(np.abs(n), 5))
+        if key in seen:
+            continue
+        seen.add(key)
+        n = n / np.linalg.norm(n)
+        # orthonormal basis with n as z
+        a = np.array([1.0, 0.0, 0.0])
+        if abs(n[0]) > 0.9:
+            a = np.array([0.0, 1.0, 0.0])
+        x = np.cross(a, n)
+        x /= np.linalg.norm(x)
+        y = np.cross(n, x)
+        R = np.stack([x, y, n])  # world -> facet frame
+        p = hp @ R.T
+        zext = np.ptp(p[:, 2])
+        ang, area, (w, h) = _min_area_rect(p[:, :2])
+        vol = area * zext
+        if best is None or vol < best[0]:
+            c, s = np.cos(ang), np.sin(ang)
+            R2 = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
+            best = (vol, R2 @ R)
+    R = best[1]
+    p = hp @ R.T
+    lo, hi = p.min(axis=0), p.max(axis=0)
+    extents = hi - lo
+    center_box = 0.5 * (lo + hi)
+    # order axes by extent, largest first; keep right-handedness
+    order = np.argsort(-extents)
+    R = R[order]
+    extents = extents[order]
+    center_box = center_box[order]
+    if np.linalg.det(R) < 0:
+        R[2] = -R[2]
+        center_box[2] = -center_box[2]
+    to_origin = np.eye(4)
+    to_origin[:3, :3] = R
+    to_origin[:3, 3] = -center_box
+    return to_origin, extents

@@ -60,13 +60,24 @@ def test_ply_roundtrip(tmp_path):
     assert c2 is not None and c2.shape == (len(verts), 3)
 
 
-def test_overflow_adaptive_retry():
-    # Tiny tet capacity forces the adaptive slab-halving / capacity-growth
-    # path; the surface must match an un-constrained extraction exactly.
+def test_tiny_slabs_match_default():
+    # A tiny slab budget forces many x-slabs through the count pass and
+    # the per-slab extraction; the welded surface must match the
+    # single-slab extraction exactly (vertices AND connectivity).
     vol, xs = sphere_volume(n=40)
     spacing = xs[1] - xs[0]
     v1, f1 = extract_isosurface(vol, [-1, -1, -1], [spacing] * 3,
-                                max_tris_per_slab=256)
+                                slab_cells=2 * 39 * 39)
     v2, f2 = extract_isosurface(vol, [-1, -1, -1], [spacing] * 3)
     assert len(f1) == len(f2)
     assert len(v1) == len(v2)
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+    def canon(v, f):
+        # order-independent triangle set, resolved to coordinates
+        tris = v[f]  # (F, 3, 3)
+        tris = np.sort(tris.round(6), axis=1)
+        order = np.lexsort(tris.reshape(len(tris), -1).T[::-1])
+        return tris[order]
+
+    np.testing.assert_allclose(canon(v1, f1), canon(v2, f2), atol=1e-6)

@@ -114,7 +114,7 @@ def test_tracker_shards_over_mesh():
                        n_px=int(cfg["tracking"]["pixels"]),
                        ie_h=10, ie_w=10, need_full=False, seed=0)
     est0 = slam._est_dev.at[0].set(jnp.asarray(pkt.gt_c2w))
-    est1, c2w, loss_first, loss_best = slam.tracker(
+    est1, c2w, loss_first, loss_best, _ = slam.tracker(
         slam.map_state, est0, jnp.int32(1),
         jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
         jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth),

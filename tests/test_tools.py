@@ -105,3 +105,55 @@ def test_rasterizer_depth_matches_analytic_sphere():
     # coverage: the sphere disc should be mostly filled
     disc = depth[60:140, 60:140]
     assert (disc > 0).mean() > 0.95
+
+
+def test_oriented_bounds_recovers_rotated_box():
+    """oriented_bounds (reference eval_recon.py:117 protocol dependency):
+    recovers a rotated box's true extents, sorted descending, containing
+    all points, right-handed."""
+    from myslam_tpu.utils.meshmath import oriented_bounds
+
+    rng = np.random.default_rng(0)
+    ext_true = np.array([4.0, 2.5, 1.0])
+    pts = rng.uniform(-0.5, 0.5, (4000, 3)) * ext_true
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0.0],
+                  [np.sin(th), np.cos(th), 0.0],
+                  [0.0, 0.0, 1.0]])
+    pts = pts @ R.T + np.array([3.0, -1.0, 2.0])
+    to_origin, extents = oriented_bounds(pts)
+    np.testing.assert_allclose(extents, ext_true, atol=0.05)
+    assert (np.diff(extents) <= 1e-9).all()  # sorted descending
+    p = pts @ to_origin[:3, :3].T + to_origin[:3, 3]
+    assert (np.abs(p) <= extents / 2 + 1e-6).all()
+    assert np.linalg.det(to_origin[:3, :3]) > 0
+
+
+def test_replay_swaps_meshes(tmp_path):
+    """Offline replay renders per-frame culled meshes as they appear in
+    the run's timeline (reference visualizer_util.py:100-140)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from visualizer import replay
+    from myslam_tpu.utils.ply import write_ply
+
+    out = tmp_path / "run"
+    (out / "ckpts").mkdir(parents=True)
+    (out / "mesh").mkdir()
+    n = 20
+    est = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    est[:, 0, 3] = np.linspace(0, 1, n)
+    np.savez(out / "ckpts" / "00019.npz", idx=n - 1,
+             estimate_c2w_list=est, gt_c2w_list=est)
+    # two culled meshes appearing at frames 5 and 15 (tiny tetrahedra)
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    f = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int32)
+    write_ply(str(out / "mesh" / "00005_mesh_culled.ply"), v, f)
+    write_ply(str(out / "mesh" / "00015_mesh_culled.ply"), v + 0.5, f)
+
+    frames = replay({}, str(out), every=5)
+    assert len(frames) == 4  # frames 0, 5, 10, 15
+    for p in frames:
+        assert os.path.isfile(p)

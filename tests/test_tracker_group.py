@@ -63,7 +63,7 @@ def test_group_tracker_matches_sequential_core():
     idx0 = 1
 
     group = make_group_tracker(cfg, scene, cam, G)
-    est_out, c2ws, lf, lb = group(
+    est_out, c2ws, lf, lb, _ = group(
         ms, jnp.asarray(est), jnp.int32(idx0), jnp.asarray(px_i),
         jnp.asarray(px_j), jnp.asarray(px_color), jnp.asarray(px_depth), key)
 
@@ -75,7 +75,7 @@ def test_group_tracker_matches_sequential_core():
     ref_poses = []
     for g in range(G):
         pose_init = 2.0 * prev - prev_prev
-        best, losses = core(
+        best, losses, _ = core(
             ms, quads, pose_init, jnp.asarray(px_i[g]), jnp.asarray(px_j[g]),
             jnp.asarray(px_color[g]), jnp.asarray(px_depth[g]),
             jax.random.fold_in(key, idx0 + g))

@@ -4,9 +4,11 @@
 Equivalent of the reference's Open3D GUI replay (visualizer.py +
 src/tools/visualizer_util.py): loads the newest checkpoint of a run,
 replays estimated (red) vs ground-truth (green) trajectories over the
-reconstructed mesh, and writes per-frame images (and an mp4 when ffmpeg
-is available).  Headless-friendly: renders with the framework's z-buffer
-rasterizer + matplotlib instead of an interactive window.
+reconstruction, swapping in each per-frame culled mesh as the replay
+reaches the frame that produced it (reference visualizer_util.py:100-140),
+and writes per-frame images (and an mp4 when ffmpeg is available).
+Headless-friendly: renders with the framework's z-buffer rasterizer +
+matplotlib instead of an interactive window.
 
 CLI: python visualizer.py <config> [--output DIR] [--top_view]
      [--save_rendering] [--every N]
@@ -15,33 +17,37 @@ CLI: python visualizer.py <config> [--output DIR] [--top_view]
 import argparse
 import glob
 import os
+import re
 import subprocess
 
 import numpy as np
 
 
-def main():
-    from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+def _mesh_schedule(output: str, n: int):
+    """[(first frame index at which to show it, path)] for every culled
+    mesh of the run, ascending (reference shows mesh {i:05d} once the
+    replay reaches frame i; the final mesh belongs to the last frame)."""
+    sched = []
+    for p in glob.glob(os.path.join(output, "mesh", "*_culled.ply")):
+        m = re.match(r"^(\d+)_", os.path.basename(p))
+        sched.append((int(m.group(1)) if m else n - 1, p))
+    return sorted(sched)
+
+
+def replay(cfg: dict, output: str, top_view: bool = False,
+           save_rendering: bool = False, every: int = 10) -> list:
+    """Render the replay frames; returns the written image paths."""
     from myslam_tpu.utils.logger import latest_checkpoint
-    from myslam_tpu.utils.meshmath import make_depth_rasterizer, subdivide_to_edge
+    from myslam_tpu.utils.meshmath import (
+        make_depth_rasterizer,
+        subdivide_to_edge,
+    )
     from myslam_tpu.utils.ply import read_ply
 
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    parser = argparse.ArgumentParser(description="Replay a SLAM run.")
-    parser.add_argument("config", type=str)
-    parser.add_argument("--output", type=str, default=None)
-    parser.add_argument("--top_view", action="store_true")
-    parser.add_argument("--save_rendering", action="store_true",
-                        help="also encode vis/replay.mp4 when ffmpeg exists")
-    parser.add_argument("--every", type=int, default=10,
-                        help="render every Nth frame")
-    args = parser.parse_args()
-
-    cfg = load_config(args.config, DEFAULT_CONFIG)
-    output = args.output or cfg["data"]["output"]
     ckpt = latest_checkpoint(os.path.join(output, "ckpts"))
     if ckpt is None:
         raise SystemExit(f"no checkpoints under {output}/ckpts")
@@ -50,15 +56,17 @@ def main():
     est = data["estimate_c2w_list"][:n]
     gt = data["gt_c2w_list"][:n]
 
-    meshes = sorted(glob.glob(os.path.join(output, "mesh", "*_culled.ply")))
-    depth_img = None
+    meshes = _mesh_schedule(output, n)
     H = W = 600
+    render = None
+    w2c = None
     if meshes:
-        verts, faces, _ = read_ply(meshes[-1])
-        verts, faces = subdivide_to_edge(verts, faces, 0.05)
+        # Fixed camera framing from the final mesh so the view does not
+        # jump as meshes swap in.
+        verts, _faces, _ = read_ply(meshes[-1][1])
         center = verts.mean(0)
         extent = (verts.max(0) - verts.min(0)).max()
-        if args.top_view:
+        if top_view:
             eye = center + np.array([0.0, 0.0, 1.8 * extent])
             fwd = np.array([0.0, 0.0, -1.0])
             right = np.array([1.0, 0.0, 0.0])
@@ -74,7 +82,6 @@ def main():
         c2w_vis[:3, 3] = eye
         w2c = np.linalg.inv(c2w_vis)
         render = make_depth_rasterizer(H, W, 500.0, 500.0, W / 2, H / 2)
-        depth_img = render(verts[faces], w2c)
 
         def project(pts):
             cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
@@ -84,10 +91,28 @@ def main():
         def project(pts):
             return pts[:, 0], pts[:, 1]
 
+    bg_cache: dict = {}
+
+    def background(i: int):
+        """Depth render of the newest mesh at or before frame i (rendered
+        once per mesh, reused until the next mesh swaps in)."""
+        current = None
+        for at, path in meshes:
+            if at <= i:
+                current = path
+        if current is None:
+            return None, None
+        if current not in bg_cache:
+            v, f, _ = read_ply(current)
+            v, f = subdivide_to_edge(v, f, 0.05)
+            bg_cache[current] = render(v[f], w2c)
+        return bg_cache[current], os.path.basename(current)
+
     vis_dir = os.path.join(output, "vis")
     os.makedirs(vis_dir, exist_ok=True)
     frames = []
-    for i in range(0, n, max(args.every, 1)):
+    for i in range(0, n, max(every, 1)):
+        depth_img, mesh_name = background(i)
         fig, ax = plt.subplots(figsize=(7, 7))
         if depth_img is not None:
             ax.imshow(depth_img, cmap="gray_r", alpha=0.7)
@@ -98,7 +123,10 @@ def main():
         ax.plot(ex, ey, "-", color="red", linewidth=1.5, label="estimated")
         ax.scatter([ex[-1]], [ey[-1]], color="red", s=30, marker="o")
         ax.legend(loc="upper right")
-        ax.set_title(f"frame {i}")
+        title = f"frame {i}"
+        if mesh_name:
+            title += f"  ({mesh_name})"
+        ax.set_title(title)
         ax.set_xticks([])
         ax.set_yticks([])
         out = os.path.join(vis_dir, f"{i:05d}.jpg")
@@ -106,8 +134,9 @@ def main():
         plt.close(fig)
         frames.append(out)
 
-    print(f"Wrote {len(frames)} frames to {vis_dir}")
-    if args.save_rendering and frames:
+    print(f"Wrote {len(frames)} frames to {vis_dir} "
+          f"({len(bg_cache)} mesh swaps)")
+    if save_rendering and frames:
         mp4 = os.path.join(vis_dir, "replay.mp4")
         try:
             subprocess.run(
@@ -118,6 +147,26 @@ def main():
             print(f"Wrote {mp4}")
         except (FileNotFoundError, subprocess.CalledProcessError) as e:
             print(f"ffmpeg unavailable/failed ({e}); frames kept as jpgs")
+    return frames
+
+
+def main():
+    from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+
+    parser = argparse.ArgumentParser(description="Replay a SLAM run.")
+    parser.add_argument("config", type=str)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--top_view", action="store_true")
+    parser.add_argument("--save_rendering", action="store_true",
+                        help="also encode vis/replay.mp4 when ffmpeg exists")
+    parser.add_argument("--every", type=int, default=10,
+                        help="render every Nth frame")
+    args = parser.parse_args()
+
+    cfg = load_config(args.config, DEFAULT_CONFIG)
+    output = args.output or cfg["data"]["output"]
+    replay(cfg, output, top_view=args.top_view,
+           save_rendering=args.save_rendering, every=args.every)
 
 
 if __name__ == "__main__":
