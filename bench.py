@@ -73,7 +73,10 @@ def main():
         "metric": "synthetic_room_e2e_frames_per_s",
         "value": round(float(fps), 3),
         "unit": "frames/s",
+        # REFERENCE_FPS is a paper-derived ESTIMATE (CUDA is unavailable
+        # here so the reference cannot be measured); see module docstring.
         "vs_baseline": round(float(fps) / REFERENCE_FPS, 3),
+        "baseline_kind": "estimate(paper, RTX3090-class)",
         "ate_rmse_cm": round(ate_rmse_cm, 3),
         "frames": len(times),
         "wall_s": round(wall, 1),

@@ -26,8 +26,9 @@ The reference's "distributed" story is two processes on one GPU (SURVEY
     updated poses next iteration (a Gauss-Seidel Schur sweep, the
     standard large-scale BA decomposition).
 
-Pose Jacobians are computed in forward mode (7 tangents, vmapped over
-rays) through the plain sampling path (custom-VJP kernels forbid jvp).
+Pose Jacobians are computed in reverse mode: one shared forward plus 4
+pullbacks per ray (one per residual row) — cheaper than 7 forward
+tangents, and it rides the hand-written-VJP sampling kernel.
 """
 
 from __future__ import annotations
@@ -55,7 +56,7 @@ from myslam_tpu.ops.composite import composite, sdf2alpha
 from myslam_tpu.ops.plane_sample import (
     pack_quad,
     reduced_row_map,
-    sample_quad_reduced,
+    sample_fused,
 )
 
 
@@ -174,11 +175,10 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., None]
         p_nor = normalize_3d_coordinate(pts.reshape(-1, 3), bound)
         sdf = decode_sdf_corners(
-            ms.decoder, sample_quad_reduced(quads[0], scene.sdf_layout, p_nor),
+            ms.decoder, sample_fused(quads[0], scene.sdf_layout, p_nor),
             row_map_sdf).reshape(z_vals.shape)
         rgb = decode_rgb_corners(
-            ms.decoder, sample_quad_reduced(quads[1], scene.color_layout,
-                                            p_nor),
+            ms.decoder, sample_fused(quads[1], scene.color_layout, p_nor),
             row_map_color).reshape(z_vals.shape + (3,))
         alpha = sdf2alpha(sdf, ms.decoder["beta"][0])
         depth, color, _ = composite(alpha, z_vals, rgb)
@@ -247,10 +247,18 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
                 sqrt_wc * (color[0] - c1) * mc,
             ])
 
+        def jac_and_res(pose7, i1, j1, d1, c1, z1):
+            # ONE forward + 4 pullbacks (one per residual row): cheaper
+            # than 7 forward-mode tangents for a 4-vector residual, and
+            # reverse mode rides the hand-VJP sampling kernel.
+            r1, pull = jax.vjp(
+                lambda p7: r_one(p7, i1, j1, d1, c1, z1), pose7)
+            J1 = jax.vmap(lambda e: pull(e)[0])(jnp.eye(4))  # (4, 7)
+            return J1, r1
+
         pose_of_ray = poses[p]  # (R, 7)
-        J = jax.vmap(jax.jacfwd(r_one))(
-            pose_of_ray, i, j, px_depth, px_color, z_vals)  # (R, 4, 7)
-        r = jax.vmap(r_one)(pose_of_ray, i, j, px_depth, px_color, z_vals)
+        J, r = jax.vmap(jac_and_res)(
+            pose_of_ray, i, j, px_depth, px_color, z_vals)  # (R,4,7),(R,4)
         W = poses.shape[0]
         H = jnp.zeros((W, 7, 7)).at[p].add(
             jnp.einsum("rij,rik->rjk", J, J))
@@ -440,11 +448,12 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
                     valid, key):
         """psum'd reduced pose normal equations H (W,7,7), g (W,7).
 
-        Forward-mode Jacobians ride the plain (jvp-safe) sampling path;
-        z-values are built once per iteration (no pose gradient flows
-        through them, matching the reference's no-grad z construction)."""
+        Reverse-mode Jacobians: one shared forward + 4 pullbacks per
+        ray through the hand-VJP sampling kernel; z-values are built once
+        per iteration (no pose gradient flows through them, matching the
+        reference's no-grad z construction)."""
         ms = jax.lax.stop_gradient(ms)
-        q = make_queries(ms, scene, jvp_safe=True)
+        q = make_queries(ms, scene)
         c2ws = cam_pose_to_matrix(poses)
         rays_o, rays_d = rays_from_uv(
             i, j, c2ws[p], cam.fx, cam.fy, cam.cx, cam.cy)
@@ -470,10 +479,15 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
                 sqrt_wc * (color[0] - c1) * mc,
             ])
 
+        def jac_and_res(pose7, i1, j1, d1, c1, z1):
+            r1, pull = jax.vjp(
+                lambda p7: r_one(p7, i1, j1, d1, c1, z1), pose7)
+            J1 = jax.vmap(lambda e: pull(e)[0])(jnp.eye(4))  # (4, 7)
+            return J1, r1
+
         pose_of_ray = poses[p]
-        J = jax.vmap(jax.jacfwd(r_one))(
-            pose_of_ray, i, j, px_depth, px_color, z_vals)  # (R, 4, 7)
-        r = jax.vmap(r_one)(pose_of_ray, i, j, px_depth, px_color, z_vals)
+        J, r = jax.vmap(jac_and_res)(
+            pose_of_ray, i, j, px_depth, px_color, z_vals)
         W = poses.shape[0]
         H = jnp.zeros((W, 7, 7)).at[p].add(jnp.einsum("rij,rik->rjk", J, J))
         g = jnp.zeros((W, 7)).at[p].add(jnp.einsum("rij,ri->rj", J, r))

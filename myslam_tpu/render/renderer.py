@@ -94,8 +94,8 @@ def make_queries(ms: MapState, scene: SceneGeometry,
     """FieldQueries over packed quad atlases (packs here if not given).
 
     ``jvp_safe`` samples through the plain differentiable path instead of
-    the hand-VJP kernel — required by forward-mode consumers (the Schur
-    pose system's jacfwd; custom_vjp forbids jvp).  Same forward math.
+    the hand-VJP kernel — for forward-mode consumers (custom_vjp forbids
+    jvp); everything in-repo uses reverse mode.  Same forward math.
     """
     if sdf_quad is None:
         sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)

@@ -52,12 +52,83 @@ def timeit(fn, *args, iters=20):
     return (t_full - t_base) / iters * 1e3
 
 
+def bench_gather(n: int, iters: int) -> None:
+    """Forward tri-plane gather: XLA row gather (ops/plane_sample) vs the
+    Pallas VMEM-resident kernel (ops/pallas_sample) at room0 scale.
+
+    The color atlas (~160k quad rows at 0.03 m) exceeds VMEM even in
+    bf16, so the Pallas variant applies to the SDF atlas only — that is
+    recorded here as part of the evidence (north-star Pallas item)."""
+    import jax.tree_util  # noqa: F401
+
+    from myslam_tpu.models.planes import make_layout
+    from myslam_tpu.ops.pallas_sample import (
+        make_sample_quad_pallas_vmem,
+        plane_indices_and_fracs,
+    )
+    from myslam_tpu.ops.plane_sample import pack_quad, sample_fused
+
+    bound = jnp.asarray([[-1.9, 8.18], [-2.2, 4.58], [-2.5, 2.78]])
+    for res, label in (([0.24, 0.06], "sdf-atlas(0.06m)"),
+                       ([0.24, 0.03], "color-atlas(0.03m)")):
+        layout = make_layout(bound, res, 32)
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        atlas = 0.01 * jax.random.normal(
+            k1, (layout.total_rows, 32), jnp.float32)
+        quad = pack_quad(atlas, layout)
+        p_nor = jax.random.uniform(k2, (n, 3), minval=-1.0, maxval=1.0)
+        idx, wx, wy = plane_indices_and_fracs(layout, p_nor)
+        vmem_mb = layout.total_rows * 128 * 2 / 1e6
+        print(f"--- gather {label}: {layout.total_rows} rows "
+              f"({vmem_mb:.1f} MB bf16 quad), {n} points ---", flush=True)
+
+        @jax.jit
+        def xla_fwd(quad, p_nor):
+            return sample_fused(quad, layout, p_nor)
+
+        def time_pts(fn, *args):
+            out = fn(*args)
+            jax.block_until_ready(out)
+            t0 = time.time()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            return (time.time() - t0) / iters * 1e3
+
+        ref = np.asarray(xla_fwd(quad, p_nor))
+        print(f"{'xla_sample_fused':22s} {time_pts(xla_fwd, quad, p_nor):8.3f} ms",
+              flush=True)
+
+        if vmem_mb < 13.0:
+            try:
+                pallas_fn = jax.jit(make_sample_quad_pallas_vmem(
+                    layout, n, tile=512))
+                got = np.asarray(pallas_fn(quad, idx, wx, wy))
+                err = float(np.abs(got - ref).max()
+                            / (np.abs(ref).max() + 1e-9))
+                ms = time_pts(pallas_fn, quad, idx, wx, wy)
+                print(f"{'pallas_vmem_bf16':22s} {ms:8.3f} ms  "
+                      f"rel_err={err:.2e}", flush=True)
+            except Exception as e:
+                print(f"{'pallas_vmem_bf16':22s} FAILED: "
+                      f"{type(e).__name__}: {e}", flush=True)
+        else:
+            print(f"{'pallas_vmem_bf16':22s} skipped: quad exceeds VMEM",
+                  flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=160_000)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--gather", action="store_true",
+                    help="also run the forward-gather comparison "
+                         "(XLA vs Pallas)")
     args = ap.parse_args()
     n = args.n
+    if args.gather:
+        bench_gather(n, args.iters)
 
     # room0-scale planes: fine SDF ~164x112, fine color ~328x224
     for rows, label in ((18_368, "sdf-fine"), (73_472, "color-fine")):

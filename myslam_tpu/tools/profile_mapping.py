@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Mapping-step profile: measured time vs roofline on the real chip.
+
+Produces the evidence VERDICT r1 asked for (SURVEY §5.1): per-program
+wall time at the Replica operating point, XLA's own cost analysis
+(FLOPs, bytes accessed), and the implied fraction of the chip's
+HBM-bandwidth / MXU rooflines — plus an optional jax.profiler trace for
+TensorBoard.
+
+Usage:
+    python -m myslam_tpu.tools.profile_mapping [--trace DIR] [--json]
+
+v5e single-chip peaks used for the roofline: ~819 GB/s HBM,
+~197 TFLOP/s bf16 / ~98.5 TFLOP/s f32 MXU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import time
+
+import numpy as np
+
+HBM_GBPS = 819.0
+F32_TFLOPS = 98.5
+
+
+def build(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from myslam_tpu.core.quaternion import matrix_to_cam_pose
+    from myslam_tpu.engine.camera import Camera
+    from myslam_tpu.engine.mapper import make_mapper
+    from myslam_tpu.engine.scheduler import compute_bound
+    from myslam_tpu.engine.tracker import make_tracker
+    from myslam_tpu.models.decoders import init_decoder_params
+    from myslam_tpu.models.planes import init_map_state, make_layout
+    from myslam_tpu.render.renderer import SceneGeometry
+
+    cam = Camera.from_cfg(cfg)
+    bound = compute_bound(cfg)
+    pres, cres = cfg["planes_res"], cfg["c_planes_res"]
+    sdf_layout = make_layout(bound, [pres["coarse"], pres["fine"]], 32)
+    color_layout = make_layout(bound, [cres["coarse"], cres["fine"]], 32)
+    r = cfg["rendering"]
+    scene = SceneGeometry(
+        sdf_layout, color_layout, tuple(map(tuple, bound.tolist())),
+        float(cfg["model"]["truncation"]), int(r["n_stratified"]),
+        int(r["n_importance"]), bool(r["perturb"]))
+    key = jax.random.PRNGKey(0)
+    ms = init_map_state(key, sdf_layout, color_layout,
+                        init_decoder_params(key, c_dim=32))
+    W = int(cfg["mapping"]["mapping_window_size"])
+    center = bound.mean(axis=1)
+    c2ws = jnp.tile(jnp.eye(4), (W, 1, 1)).at[:, :3, 3].set(
+        jnp.asarray(center))
+    poses = matrix_to_cam_pose(c2ws)
+    mask = jnp.ones((W,)).at[0].set(0.0)
+    kf_colors = jnp.full((W, cam.H, cam.W, 3), 0.5, jnp.float16)
+    kf_depths = jnp.full((W, cam.H, cam.W), 1.5, jnp.float32)
+    slot_kf = jnp.arange(W, dtype=jnp.int32)
+    mapper = make_mapper(cfg, scene, cam, importance=False)
+    tracker = make_tracker(cfg, scene, cam)
+    return (jax, jnp, cam, scene, ms, poses, mask, slot_kf, kf_colors,
+            kf_depths, mapper, tracker, sdf_layout, color_layout)
+
+
+def analytic_gather_bytes(scene, n_rays):
+    """HBM bytes per mapping iteration from the tri-plane gathers alone
+    (fwd row reads + bwd scatter read-modify-write), f32 atlases."""
+    n_pts = n_rays * scene.n_samples
+    row_b = 4 * scene.sdf_layout.c_dim * 4  # 4C lanes x 4 B
+    planes = scene.sdf_layout.n_levels * 3 + scene.color_layout.n_levels * 3
+    fwd = n_pts * planes * row_b
+    bwd = 2 * fwd  # scatter-add: read + write of touched rows
+    return fwd + bwd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a jax.profiler trace to this dir")
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cfg = load_config(
+        os.path.join(repo, "configs", "Synthetic", "room.yaml"),
+        DEFAULT_CONFIG)
+    cfg = copy.deepcopy(cfg)
+    cfg["cam"].update(H=680, W=1200, fx=600.0, fy=600.0,
+                      cx=599.5, cy=339.5)
+    cfg["mapping"]["pixels"] = 4000
+    cfg["tracking"]["pixels"] = 2000
+
+    (jax, jnp, cam, scene, ms, poses, mask, slot_kf, kf_colors, kf_depths,
+     mapper, tracker, sdf_layout, color_layout) = build(cfg)
+    import jax.tree_util as jtu
+
+    key = jax.random.PRNGKey(1)
+    W = poses.shape[0]
+    n_iters = args.iters
+
+    def run_map(ms):
+        return mapper(ms, poses, mask, slot_kf, jnp.int32(W), kf_colors,
+                      kf_depths, key, iters=n_iters, lr_factor=1.0)
+
+    # warm up (compile)
+    out = run_map(jtu.tree_map(jnp.copy, ms))
+    jax.block_until_ready(out[-1])
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = run_map(jtu.tree_map(jnp.copy, ms))
+        jax.block_until_ready(out[-1])
+    map_ms = (time.time() - t0) / reps * 1e3
+
+    # tracking step (8 iters x 2000 px)
+    t = cfg["tracking"]
+    it_n, n_px = int(t["iters"]), int(t["pixels"])
+    px_i = jnp.tile(jnp.linspace(2, cam.W - 3, n_px, dtype=jnp.float32),
+                    (it_n, 1))
+    px_j = jnp.tile(jnp.linspace(2, cam.H - 3, n_px, dtype=jnp.float32),
+                    (it_n, 1))
+    px_color = jnp.full((it_n, n_px, 3), 128, jnp.uint8)
+    px_depth = jnp.full((it_n, n_px), 1.5, jnp.float32)
+    tout = tracker(ms, poses[1], px_i, px_j, px_color, px_depth, key)
+    jax.block_until_ready(tout[1])
+    t0 = time.time()
+    for _ in range(reps):
+        tout = tracker(ms, poses[1], px_i, px_j, px_color, px_depth, key)
+        jax.block_until_ready(tout[1])
+    track_ms = (time.time() - t0) / reps * 1e3
+
+    # XLA's own cost model for one mapping chunk
+    lowered = mapper.jit_chunk.lower(
+        {"map": ms, "poses": poses}, mapper.jit_init(
+            {"map": ms, "poses": poses}),
+        mask, slot_kf, jnp.int32(W), kf_colors, kf_depths, key,
+        jnp.int32(0), jnp.float32(1.0), chunk=n_iters)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    bytes_x = float(cost.get("bytes accessed", 0.0))
+
+    per_iter_ms = map_ms / n_iters
+    gather_b = analytic_gather_bytes(scene, int(cfg["mapping"]["pixels"]))
+    report = {
+        "map_step_ms": round(map_ms, 2),
+        "map_iter_ms": round(per_iter_ms, 3),
+        "track_step_ms": round(track_ms, 2),
+        "track_iter_ms": round(track_ms / it_n, 3),
+        "xla_flops_per_chunk": flops,
+        "xla_bytes_per_chunk": bytes_x,
+        "achieved_gbps": round(bytes_x / (map_ms / 1e3) / 1e9, 1)
+        if bytes_x else None,
+        "hbm_roofline_frac": round(
+            bytes_x / (map_ms / 1e3) / 1e9 / HBM_GBPS, 3)
+        if bytes_x else None,
+        "mxu_f32_frac": round(
+            flops / (map_ms / 1e3) / 1e12 / F32_TFLOPS, 4)
+        if flops else None,
+        "gather_scatter_gb_per_iter": round(gather_b / 1e9, 3),
+        "gather_roofline_ms_per_iter": round(
+            gather_b / (HBM_GBPS * 1e9) * 1e3, 3),
+    }
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            out = run_map(jtu.tree_map(jnp.copy, ms))
+            jax.block_until_ready(out[-1])
+        report["trace_dir"] = args.trace
+
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for k, v in report.items():
+            print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,35 @@ def backproject_keyframes(store, cam, stride: int = 8) -> np.ndarray:
     return np.concatenate([pts_np[d_np > 0], cams], axis=0)
 
 
+def denoise_observed_points(pts: np.ndarray, n_cams: int,
+                            voxel: float = 0.1,
+                            min_votes: int = 3) -> np.ndarray:
+    """Voxel-vote outlier rejection before hull construction.
+
+    The reference denoises the observed-space point set by TSDF-fusing
+    all keyframes before hulling (src/utils/Mesher.py:78-112), which
+    averages away isolated depth spikes; with raw backprojected points a
+    single noisy TUM depth sample would otherwise inflate the convex
+    hull and admit spurious geometry.  Equivalent vote: only points in
+    voxels holding >= min_votes backprojected samples survive (true
+    surfaces are dense under the stride-subsampled backprojection;
+    spikes are isolated).  The trailing ``n_cams`` rows are the camera
+    centers and always survive (reference includes them, Mesher.py:114).
+    """
+    if min_votes <= 1 or len(pts) <= n_cams:
+        return pts
+    surf = pts[:len(pts) - n_cams]
+    cams = pts[len(pts) - n_cams:]
+    keys = np.floor(surf / voxel).astype(np.int64)
+    # pack 3 x int21 -> single int64 key for fast uniquing
+    packed = ((keys[:, 0] & 0x1FFFFF) << 42 | (keys[:, 1] & 0x1FFFFF) << 21
+              | (keys[:, 2] & 0x1FFFFF))
+    uniq, inv, counts = np.unique(packed, return_inverse=True,
+                                  return_counts=True)
+    keep = counts[inv] >= min_votes
+    return np.concatenate([surf[keep], cams], axis=0)
+
+
 class HullBound:
     """Convex hull of observed space with device-side containment test.
 
@@ -129,6 +158,12 @@ class Mesher:
         self.resolution = float(cfg["meshing"]["resolution"])
         self.level_set = float(cfg["meshing"]["level_set"])
         self.mesh_bound_scale = float(cfg["meshing"]["mesh_bound_scale"])
+        # voxel-vote denoising of the hull point set (the reference's
+        # TSDF-fusion step served this role); 1 disables.  Off by
+        # default: clean-depth datasets can have legitimately sparse
+        # single-view coverage; the TUM configs (noisy Kinect depth)
+        # turn it on.
+        self.bound_min_votes = int(cfg["meshing"].get("bound_min_votes", 1))
         self.scale = cfg.get("scale", 1)
         self.mc_bound = np.array(
             cfg["mapping"]["marching_cubes_bound"], np.float64) * self.scale
@@ -245,6 +280,8 @@ class Mesher:
         hull = None
         if store is not None and store.count > 0:
             pts = backproject_keyframes(store, self.cam)
+            pts = denoise_observed_points(
+                pts, store.count, min_votes=self.bound_min_votes)
             hull = HullBound(pts, self.mesh_bound_scale)
         vol, (xs, ys, zs) = self.eval_sdf_volume(ms, hull)
         verts_d, faces_d, n_verts, n_tris = extract_isosurface_device(

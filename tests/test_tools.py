@@ -157,3 +157,21 @@ def test_replay_swaps_meshes(tmp_path):
     assert len(frames) == 4  # frames 0, 5, 10, 15
     for p in frames:
         assert os.path.isfile(p)
+
+
+def test_denoise_observed_points_rejects_outliers():
+    """Voxel-vote hull denoising (the reference's TSDF-fusion role,
+    Mesher.py:78-112): isolated depth spikes must not inflate the
+    observed-space hull; dense surface points and cameras survive."""
+    from myslam_tpu.utils.mesher import denoise_observed_points
+
+    rng = np.random.default_rng(0)
+    surf = rng.uniform(0, 1, (5000, 3)).astype(np.float32)  # dense slab
+    spikes = np.array([[8.0, 8.0, 8.0], [-5.0, 0.2, 0.1]], np.float32)
+    cams = np.array([[0.5, 0.5, 2.0]], np.float32)
+    pts = np.concatenate([surf, spikes, cams])
+    out = denoise_observed_points(pts, n_cams=1, voxel=0.1, min_votes=3)
+    assert out.max() <= 2.0  # spikes gone
+    assert out.min() >= -0.1
+    assert any(np.all(out == cams[0], axis=-1))  # camera kept
+    assert len(out) > 4500  # surface survives
