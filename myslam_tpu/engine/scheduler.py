@@ -106,6 +106,7 @@ class SLAMSystem:
             n_stratified=int(r["n_stratified"]),
             n_importance=int(r["n_importance"]),
             perturb=bool(r["perturb"]),
+            color_topk=int(r.get("color_topk", 0)),
         )
 
         self.seed = seed

@@ -31,6 +31,7 @@ of the same formulation.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -38,6 +39,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from myslam_tpu.models.planes import ORIENTATIONS, PlaneLayout
+
+# Combine the per-plane row gathers (forward) and fine-plane scatter-adds
+# (backward) of one atlas into single calls with concatenated plane-major
+# indices.  MEASURED SLOWER on v5e (tools/bench_fusion.py: 6 separate
+# 160k-row gathers 4.9 ms vs one 960k-row gather 7.0 ms; the combined
+# 960k-row scatter's XLA compile also degenerates to tens of minutes), so
+# the default stays per-plane calls — XLA pipelines the independent calls
+# better than one long stream.  Kept as a trace-time switch with a parity
+# test so the experiment is reproducible from the repo.
+FUSE_PLANE_CALLS = os.environ.get("MYSLAM_FUSE_CALLS", "0") == "1"
 
 
 def pack_quad(atlas: jnp.ndarray, layout: PlaneLayout) -> jnp.ndarray:
@@ -279,20 +290,32 @@ def sample_fused(quad: jnp.ndarray, layout: PlaneLayout,
 
 def _sample_fused_fwd(quad, layout, p_nor):
     sx, sy = _lane_signs(layout)
-    reds = [None] * layout.n_levels
-    gs, cells, wxs, wys, inxs, inys = [], [], [], [], [], []
-    for lvl, ori, au, av, H, W, off in _plane_list(layout):
+    planes = _plane_list(layout)
+    cells, wxs, wys, inxs, inys = [], [], [], [], []
+    for lvl, ori, au, av, H, W, off in planes:
         cell, wx, wy, in_x, in_y = _plane_coords(p_nor, au, av, H, W)
-        g = jnp.take(quad, off + cell, axis=0)
-        w = _lane_w(wx[:, None], wy[:, None], sx, sy)
-        term = g.astype(w.dtype) * w
-        reds[lvl] = term if ori == 0 else reds[lvl] + term
-        gs.append(g)
         cells.append(cell)
         wxs.append(wx)
         wys.append(wy)
         inxs.append(in_x)
         inys.append(in_y)
+    n = p_nor.shape[0]
+    if FUSE_PLANE_CALLS:
+        # ONE row gather per atlas: plane-major concatenated indices give
+        # the transaction engine a single long pipeline; the per-plane
+        # views below are static row slices (fused, no copies).
+        idx_all = jnp.concatenate(
+            [off + c for (_, _, _, _, _, _, off), c in zip(planes, cells)])
+        g_all = jnp.take(quad, idx_all, axis=0)
+        gs = [g_all[p * n:(p + 1) * n] for p in range(len(planes))]
+    else:
+        gs = [jnp.take(quad, off + c, axis=0)
+              for (_, _, _, _, _, _, off), c in zip(planes, cells)]
+    reds = [None] * layout.n_levels
+    for p, (lvl, ori, au, av, H, W, off) in enumerate(planes):
+        w = _lane_w(wxs[p][:, None], wys[p][:, None], sx, sy)
+        term = gs[p].astype(w.dtype) * w
+        reds[lvl] = term if ori == 0 else reds[lvl] + term
     red = jnp.concatenate(reds, axis=-1)
     return red, (tuple(gs), tuple(cells), tuple(wxs), tuple(wys),
                  tuple(inxs), tuple(inys))
@@ -321,6 +344,7 @@ def _sample_fused_bwd(layout, res, gbar):
 
     quad_grad = jnp.zeros((layout.total_rows, C4), jnp.float32)
     pg_cols = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
+    fine_cells, fine_upds = [], []
     for p, (lvl, ori, au, av, H, W, off) in enumerate(_plane_list(layout)):
         gl = gbar[:, lvl * C4:(lvl + 1) * C4]  # (N, 4C)
         wxl = wxs[p][:, None]
@@ -328,7 +352,14 @@ def _sample_fused_bwd(layout, res, gbar):
         fx = 0.5 + (wxl - 0.5) * sx
         fy = 0.5 + (wyl - 0.5) * sy
         upd = gl * (fx * fy)
-        quad_grad = _scatter_grad(quad_grad, off, H * W, cells[p], upd)
+        if FUSE_PLANE_CALLS and H * W > ONEHOT_MAX_ROWS:
+            # Deferred: all large-plane updates ride ONE combined
+            # scatter-add after the loop (coarse planes keep the one-hot
+            # MXU route either way).
+            fine_cells.append(off + cells[p])
+            fine_upds.append(upd)
+        else:
+            quad_grad = _scatter_grad(quad_grad, off, H * W, cells[p], upd)
 
         # Coordinate gradient: dL/dwx = sum_lanes g*gl * sx*fy (dwy dual).
         ggl = gs[p].astype(jnp.float32) * gl
@@ -336,6 +367,9 @@ def _sample_fused_bwd(layout, res, gbar):
         dwy = jnp.sum(ggl * (sy * fx), axis=-1)
         pg_cols[au] = pg_cols[au] + dwx * inxs[p] * (0.5 * (W - 1.0))
         pg_cols[av] = pg_cols[av] + dwy * inys[p] * (0.5 * (H - 1.0))
+    if fine_upds:
+        quad_grad = quad_grad.at[jnp.concatenate(fine_cells)].add(
+            jnp.concatenate(fine_upds))
     p_grad = jnp.stack(pg_cols, axis=-1)
     return quad_grad.astype(gs[0].dtype), p_grad
 

@@ -56,6 +56,17 @@ class SceneGeometry:
     n_stratified: int
     n_importance: int
     perturb: bool
+    # Query the color field only at the color_topk highest-weight samples
+    # per ray (0 = every sample, the reference's exact math).  The
+    # compositing weights are sharply peaked at the SDF surface — the
+    # depth-guided schedule places 8 of 40 samples there by construction
+    # (reference src/utils/Renderer.py:90-105) — so the color sum is
+    # dominated by a few samples, while the per-sample tri-plane row
+    # gathers/scatters of the color atlas are the largest single cost of
+    # a mapping iteration on TPU (row-transaction bound; see README).
+    # Weight gradients still flow through ALL samples' SDF; only the RGB
+    # query set is restricted.  Selection is by stop-gradient weight.
+    color_topk: int = 0
 
     @property
     def bound_array(self) -> jnp.ndarray:
@@ -184,8 +195,22 @@ def render_core(
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     p_nor = normalize_3d_coordinate(pts.reshape(-1, 3), scene.bound_array)
     sdf = q.sdf(p_nor).reshape(z_vals.shape)
-    rgb = q.rgb(p_nor).reshape(z_vals.shape + (3,))
     alpha = sdf2alpha(sdf, q.beta)
+    K = int(scene.color_topk)
+    if K and K < scene.n_samples:
+        # Top-K color path (see SceneGeometry.color_topk): weights from
+        # the full SDF; RGB queried only at the K highest-weight samples.
+        w = composite_weights(alpha)
+        _, top_idx = jax.lax.top_k(jax.lax.stop_gradient(w), K)  # (R, K)
+        pts_k = jnp.take_along_axis(pts, top_idx[..., None], axis=1)
+        p_nor_k = normalize_3d_coordinate(
+            pts_k.reshape(-1, 3), scene.bound_array)
+        rgb_k = q.rgb(p_nor_k).reshape(top_idx.shape + (3,))
+        w_k = jnp.take_along_axis(w, top_idx, axis=1)
+        depth = jnp.sum(w * z_vals, axis=-1)
+        color = jnp.sum(w_k[..., None] * rgb_k, axis=-2)
+        return depth, color, sdf, z_vals
+    rgb = q.rgb(p_nor).reshape(z_vals.shape + (3,))
     depth, color, _ = composite(alpha, z_vals, rgb)
     return depth, color, sdf, z_vals
 

@@ -229,6 +229,23 @@ def test_sample_fused_onehot_scatter_route(monkeypatch):
     np.testing.assert_allclose(gq1, gq0, atol=1.5e-2 * scale)
 
 
+def test_fused_calls_path_matches_per_plane_path(monkeypatch):
+    """FUSE_PLANE_CALLS (one combined gather / one combined fine-plane
+    scatter per atlas) is numerically identical to the per-plane-call
+    path — same math, different transaction batching."""
+    import myslam_tpu.ops.plane_sample as ps
+
+    layout, quad, p_nor, gbar = _fused_test_inputs()
+    monkeypatch.setattr(ps, "ONEHOT_MAX_ROWS", 0)
+    monkeypatch.setattr(ps, "FUSE_PLANE_CALLS", True)
+    _, (v1, gq1, gp1) = _run_fused_vs_autodiff(layout, quad, p_nor, gbar)
+    monkeypatch.setattr(ps, "FUSE_PLANE_CALLS", False)
+    _, (v0, gq0, gp0) = _run_fused_vs_autodiff(layout, quad, p_nor, gbar)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(gq1), np.asarray(gq0))
+    np.testing.assert_array_equal(np.asarray(gp1), np.asarray(gp0))
+
+
 def test_coordinate_gradient_matches_grid_sample():
     layout = make_layout(jnp.asarray(BOUND), [0.24], C_DIM)
     atlas, planes = make_atlas_and_planes(layout, 4)
