@@ -177,10 +177,30 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
         sdf = decode_sdf_corners(
             ms.decoder, sample_fused(quads[0], scene.sdf_layout, p_nor),
             row_map_sdf).reshape(z_vals.shape)
+        alpha = sdf2alpha(sdf, ms.decoder["beta"][0])
+        K = int(getattr(scene, "color_topk", 0))
+        if K and K < z_vals.shape[-1]:
+            # Top-K color path (renderer.SceneGeometry.color_topk): RGB
+            # queried only at the K highest-weight samples; weights and
+            # depth keep every sample.  Matches render_core's semantics
+            # so kf-sharded BA sees the same loss as the other mappers.
+            from myslam_tpu.ops.composite import composite_weights
+
+            w = composite_weights(alpha)
+            _, top_idx = jax.lax.top_k(jax.lax.stop_gradient(w), K)
+            pts_k = jnp.take_along_axis(pts, top_idx[..., None], axis=-2)
+            p_nor_k = normalize_3d_coordinate(pts_k.reshape(-1, 3), bound)
+            rgb_k = decode_rgb_corners(
+                ms.decoder,
+                sample_fused(quads[1], scene.color_layout, p_nor_k),
+                row_map_color).reshape(top_idx.shape + (3,))
+            w_k = jnp.take_along_axis(w, top_idx, axis=-1)
+            depth = jnp.sum(w * z_vals, axis=-1)
+            color = jnp.sum(w_k[..., None] * rgb_k, axis=-2)
+            return depth, color, sdf, rays_o, rays_d
         rgb = decode_rgb_corners(
             ms.decoder, sample_fused(quads[1], scene.color_layout, p_nor),
             row_map_color).reshape(z_vals.shape + (3,))
-        alpha = sdf2alpha(sdf, ms.decoder["beta"][0])
         depth, color, _ = composite(alpha, z_vals, rgb)
         return depth, color, sdf, rays_o, rays_d
 

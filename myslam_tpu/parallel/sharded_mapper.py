@@ -17,9 +17,12 @@ Data flow per iteration:
   * Adam state for the atlases inherits the P(map, None) sharding.
 
 Loss/semantics match the single-chip mapper for depth-valid windows
-(depth-guided sampling; the reference's depth-less importance branch is
-not replicated here — use the replicated-map path for datasets with
-depth holes).
+(depth-guided sampling only).  NOTE: this is the minimal library-level
+BA step kept for dryruns/benchmarks; the PRODUCT map-block-sharded
+mapper is parallel/sharded_engine.py, which runs the ENTIRE fused frame
+mapper — including the reference's depth-less importance branch
+(src/utils/Renderer.py:108-134) — against the banded backend and is
+what `parallel.map_shards` in the config selects.
 """
 
 from __future__ import annotations
