@@ -153,10 +153,19 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
 
 def _scan_steps(loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
                 n_slots, kf_colors, kf_depths, key, start, lr_scale,
-                chunk: int):
-    """``chunk`` optimization iterations as one lax.scan."""
+                chunk: int, total=None):
+    """``chunk`` optimization iterations as one lax.scan.
 
-    def step(carry, it):
+    ``total`` (traced) caps the GLOBAL iteration count: iterations with
+    index >= total are skipped via lax.cond (their loss reads 0).  This
+    lets every schedule run in equal-size chunks — the first-frame
+    schedule's ragged tail (reference iters_first=1000 with a 15-iter
+    steady chunk) pads to a full chunk instead of compiling a second
+    program variant; compile wall is a first-class cost here (each fused
+    chunk program costs tens of seconds cold through the TPU tunnel).
+    """
+
+    def real_step(carry, it):
         params, opt_state = carry
         k = jax.random.fold_in(key, it)
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -172,6 +181,14 @@ def _scan_steps(loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
         }
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
+
+    if total is None:
+        step = real_step
+    else:
+        def step(carry, it):
+            return jax.lax.cond(
+                it < total, real_step,
+                lambda c, _it: (c, jnp.float32(0.0)), carry, it)
 
     (params, opt_state), losses = jax.lax.scan(
         step, (params, opt_state), start + jnp.arange(chunk)
@@ -217,11 +234,13 @@ def make_mapper(
         key: jax.Array,
         start: jnp.ndarray,
         lr_scale: jnp.ndarray,
+        total: jnp.ndarray,
         chunk: int,
     ):
         return _scan_steps(
             loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
-            n_slots, kf_colors, kf_depths, key, start, lr_scale, chunk)
+            n_slots, kf_colors, kf_depths, key, start, lr_scale, chunk,
+            total=total)
 
     # The optimization is executed in bounded-duration device programs
     # (<= chunk_iters iterations each) with the Adam state carried across
@@ -255,21 +274,20 @@ def make_mapper(
         params = {"map": ms, "poses": jnp.copy(poses)}
         opt_state = jit_init(params)
         lr_scale = jnp.float32(lr_factor)
+        total = jnp.int32(iters)
         losses = []
-        done = 0
-        while done < iters:
-            n = min(chunk_iters, iters - done)
-            # Equal-size chunks except possibly the last -> at most two
-            # compiled variants per mapper.
+        # Equal-size chunks ALWAYS (the ragged tail is masked inside the
+        # program via ``total``) -> exactly one compiled variant per
+        # mapper across all schedules.
+        for c in range(-(-iters // chunk_iters)):
             params, opt_state, chunk_losses = jit_chunk(
                 params, opt_state, pose_mask, slot_kf, n_slots,
-                kf_colors, kf_depths, key, jnp.int32(done), lr_scale,
-                chunk=n)
+                kf_colors, kf_depths, key, jnp.int32(c * chunk_iters),
+                lr_scale, total, chunk=chunk_iters)
             losses.append(chunk_losses)
-            done += n
         all_losses = (
             losses[0] if len(losses) == 1
-            else jnp.concatenate(losses, axis=0))
+            else jnp.concatenate(losses, axis=0))[:iters]
         return params["map"], params["poses"], all_losses
 
     # Exposed for profiling / AOT tooling.
@@ -324,7 +342,7 @@ def make_frame_mapper(
     def run_chunk(params, opt_state, sel, est_dev, kf_est, kf_gt,
                   kf_colors, kf_depths, scr_color_u8, scr_depth_u16,
                   inv_q, gt_c2w, idx, count, key, start, lr_scale,
-                  joint_opt, admit, chunk: int):
+                  total, joint_opt, admit, chunk: int):
         def init_fn(op):
             params, opt_state, sel, kf_colors, kf_depths = op
             kf_colors = kf_colors.at[scratch_slot].set(
@@ -352,7 +370,8 @@ def make_frame_mapper(
 
         params, opt_state, losses = _scan_steps(
             loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
-            n_slots, kf_colors, kf_depths, key, start, lr_scale, chunk)
+            n_slots, kf_colors, kf_depths, key, start, lr_scale, chunk,
+            total=total)
 
         # Masked pose write-back (reference Mapper.py:352-364,425-426:
         # keyframe entries for optimized window slots; the trajectory only
@@ -390,28 +409,30 @@ def make_frame_mapper(
         sel = (jnp.zeros((w_max,), jnp.int32), jnp.int32(1),
                jnp.zeros((w_max,), jnp.float32))
         lr_scale = jnp.float32(lr_factor)
+        total = jnp.int32(iters)
         jo = jnp.float32(1.0 if joint_opt else 0.0)
         ad = jnp.float32(1.0 if admit else 0.0)
         losses = []
-        done = 0
-        while done < iters:
-            n = min(chunk_iters, iters - done)
+        # Equal-size chunks always (ragged tail masked via ``total``):
+        # one compiled variant per mapper across all schedules.
+        for c in range(-(-iters // chunk_iters)):
+            done = c * chunk_iters
             (params, opt_buf, sel, est_dev, kf_est, kf_gt, kf_colors,
              kf_depths, chunk_losses) = jit_chunk(
                 params, opt_buf, sel, est_dev, kf_est, kf_gt, kf_colors,
                 kf_depths, scr_color_u8, scr_depth_u16,
                 jnp.float32(inv_q), gt_c2w, jnp.int32(idx),
-                jnp.int32(count), key, jnp.int32(done), lr_scale, jo, ad,
-                chunk=n)
+                jnp.int32(count), key, jnp.int32(done), lr_scale, total,
+                jo, ad, chunk=chunk_iters)
             losses.append(chunk_losses)
             if on_chunk is not None:
                 # Mid-optimization hook at the chunk boundary (in-loop
                 # visualization, reference Mapper.py:310) — sees the
                 # CURRENT map/poses and the resolved window selection.
-                on_chunk(params, sel, done, done + n)
-            done += n
+                on_chunk(params, sel, done,
+                         min(done + chunk_iters, iters))
         all_losses = (losses[0] if len(losses) == 1
-                      else jnp.concatenate(losses, axis=0))
+                      else jnp.concatenate(losses, axis=0))[:iters]
         return (params["map"], opt_buf, est_dev, kf_est, kf_gt, kf_colors,
                 kf_depths, all_losses)
 
@@ -449,12 +470,15 @@ def make_window_frame_mapper(
     m = cfg["mapping"]
     loss_fn, optimizer = _build_core(
         cfg, scene, cam, ray_sharding=ray_sharding, importance=importance)
-    win_slot_ids = jnp.arange(w_max, dtype=jnp.int32)  # identity indexing
+    # numpy, not jnp: build-time device-array constants are fetched D2H
+    # during MLIR lowering (see SceneGeometry.bound_array).
+    import numpy as np
+    win_slot_ids = np.arange(w_max, dtype=np.int32)  # identity indexing
 
     def run_chunk(params, opt_state, est_dev, kf_est, kf_gt, slot_kf,
                   n_slots, pose_mask, win_colors_u8, win_depths_u16,
                   win_inv_q, gt_c2w, idx, count, key, start, lr_scale,
-                  joint_opt, admit, chunk: int):
+                  total, joint_opt, admit, chunk: int):
         win_colors = (win_colors_u8.astype(jnp.float32) * (1.0 / 255.0)
                       ).astype(jnp.float16)
         win_depths = (win_depths_u16.astype(jnp.float32)
@@ -475,7 +499,8 @@ def make_window_frame_mapper(
 
         params, opt_state, losses = _scan_steps(
             loss_fn, optimizer, params, opt_state, pose_mask, win_slot_ids,
-            n_slots, win_colors, win_depths, key, start, lr_scale, chunk)
+            n_slots, win_colors, win_depths, key, start, lr_scale, chunk,
+            total=total)
 
         # Pose write-back (global slot ids) + pose-only admission; the
         # imagery admission happens host-side in the scheduler.
@@ -506,24 +531,24 @@ def make_window_frame_mapper(
         params = {"map": ms, "poses": jnp.zeros((w_max, 7), jnp.float32)}
         sel = (slot_kf, n_slots, pose_mask)
         lr_scale = jnp.float32(lr_factor)
+        total = jnp.int32(iters)
         jo = jnp.float32(1.0 if joint_opt else 0.0)
         ad = jnp.float32(1.0 if admit else 0.0)
         losses = []
-        done = 0
-        while done < iters:
-            n = min(chunk_iters, iters - done)
+        for c in range(-(-iters // chunk_iters)):
+            done = c * chunk_iters
             (params, opt_buf, est_dev, kf_est, kf_gt,
              chunk_losses) = jit_chunk(
                 params, opt_buf, est_dev, kf_est, kf_gt, slot_kf,
                 n_slots, pose_mask, win_colors_u8, win_depths_u16,
                 win_inv_q, gt_c2w, jnp.int32(idx), jnp.int32(count), key,
-                jnp.int32(done), lr_scale, jo, ad, chunk=n)
+                jnp.int32(done), lr_scale, total, jo, ad,
+                chunk=chunk_iters)
             losses.append(chunk_losses)
             if on_chunk is not None:
-                on_chunk(params, sel, done, done + n)
-            done += n
+                on_chunk(params, sel, done, min(done + chunk_iters, iters))
         all_losses = (losses[0] if len(losses) == 1
-                      else jnp.concatenate(losses, axis=0))
+                      else jnp.concatenate(losses, axis=0))[:iters]
         return (params["map"], opt_buf, est_dev, kf_est, kf_gt, all_losses)
 
     window_map.jit_init = jit_init

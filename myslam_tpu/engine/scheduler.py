@@ -151,6 +151,24 @@ class SLAMSystem:
         n_dev = _n("devices")
         self.map_shards = _n("map_shards")
         self.kf_shards = _n("kf_shards")
+        # parallel.pipeline — track || map PIPELINE over disjoint device
+        # sets (the reference's core concurrency property, generalized:
+        # src/ESLAM.py:246-260 overlaps the tracker's wall-clock with the
+        # mapper's via 2 processes + a tolerated-stale shared map,
+        # src/Tracker.py:212-234).  Here the fused every_frame tracking
+        # group runs on the track submesh against the newest FULLY
+        # TRANSFERRED map snapshot while the mapping program for the
+        # previous boundary still executes on the map submesh; steady
+        # group wall becomes max(track_group, map_step).  Composes with
+        # ray DP inside each submesh (pipeline_track_devices /
+        # pipeline_map_devices; defaults 1 / rest).
+        self.pipeline = bool(par.get("pipeline", False))
+        if self.pipeline and sum(
+                x > 1 for x in (n_dev, self.map_shards, self.kf_shards)):
+            raise ValueError(
+                "parallel.pipeline is its own mode (it composes ray DP "
+                "internally); don't combine with devices/map_shards/"
+                "kf_shards")
         if sum(x > 1 for x in (n_dev, self.map_shards, self.kf_shards)) > 1:
             raise ValueError(
                 "parallel.devices / map_shards / kf_shards are mutually "
@@ -160,6 +178,25 @@ class SLAMSystem:
         self.mesh = None
         self.sharded_geom = None
         self._map_banded = None  # banded view (map_shards>1), lazily built
+        self._track_sharding = None  # pipeline: tracker submesh ray DP
+        if self.pipeline:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            devs = jax.devices()
+            nT = int(par.get("pipeline_track_devices", 1))
+            nM = int(par.get("pipeline_map_devices", 0)) or (len(devs) - nT)
+            if nT < 1 or nM < 1 or nT + nM > len(devs):
+                raise ValueError(
+                    f"parallel.pipeline needs track+map devices <= "
+                    f"{len(devs)} visible (got {nT}+{nM})")
+            self.mesh_T = Mesh(np.array(devs[:nT]), ("dp",))
+            self.mesh_M = Mesh(np.array(devs[nT:nT + nM]), ("dp",))
+            self._repl_T = NamedSharding(self.mesh_T, P())
+            self._repl_M = NamedSharding(self.mesh_M, P())
+            if nT > 1:
+                self._track_sharding = NamedSharding(self.mesh_T, P("dp"))
+            if nM > 1:
+                self.ray_sharding = NamedSharding(self.mesh_M, P("dp"))
+            self.mesh = self.mesh_M
         if n_dev > 1:
             from myslam_tpu.parallel.mesh import make_mesh, ray_dp_sharding
             self.mesh = make_mesh(n_dev)
@@ -189,10 +226,11 @@ class SLAMSystem:
         self.keyframe_device = str(
             cfg.get("keyframe_device", "device")).lower()
         host_kf = self.keyframe_device in ("cpu", "host")
-        if host_kf and (self.kf_shards > 1 or self.map_shards > 1):
+        if host_kf and (self.kf_shards > 1 or self.map_shards > 1
+                        or self.pipeline):
             raise ValueError(
                 "keyframe_device: cpu composes with ray DP only "
-                "(kf/map sharding keeps imagery on the mesh)")
+                "(kf/map sharding and pipeline keep imagery on the mesh)")
         self.store = KeyframeStore(
             capacity, self.cam, device="cpu" if host_kf else "device")
         self.scratch_slot = self.store.capacity - 1
@@ -200,8 +238,10 @@ class SLAMSystem:
         if self.kf_shards > 1:
             self._place_store_sharded()
 
+        track_sharding = (self._track_sharding if self.pipeline
+                          else self.ray_sharding)
         self.tracker = make_frame_tracker(cfg, self.scene, self.cam,
-                                          ray_sharding=self.ray_sharding)
+                                          ray_sharding=track_sharding)
         # Between two mapped frames the map is frozen, so the every_frame
         # group of tracked frames fuses into ONE device program (quads
         # packed once, one upload, one dispatch) — see make_group_tracker.
@@ -210,7 +250,7 @@ class SLAMSystem:
         if self.every_frame > 1 and not self.gt_camera:
             self.group_tracker = make_group_tracker(
                 cfg, self.scene, self.cam, self.every_frame,
-                ray_sharding=self.ray_sharding)
+                ray_sharding=track_sharding)
         self._track_buf: list = []
         self._iters_first = int(m["iters_first"])
         self._iters = int(m["iters"])
@@ -275,6 +315,29 @@ class SLAMSystem:
         # to the host (each host fetch through the remote TPU tunnel costs
         # milliseconds).  `estimates` is a synced host view.
         self._est_dev = jnp.zeros((self.n_img, 4, 4), jnp.float32)
+        if self.pipeline:
+            # Pipeline state split (see parallel.pipeline above):
+            #  * self.map_state + keyframe store + self._est_M live on
+            #    the MAP submesh (mapper-canonical; est_M accumulates
+            #    every tracked pose via a per-group row write plus the
+            #    BA refinements — it is the complete trajectory);
+            #  * self._est_dev + self._track_map_state live on the TRACK
+            #    submesh (tracking-canonical; the snapshot trails the
+            #    mapper by one boundary, the reference's tolerated
+            #    staleness, src/Tracker.py:212-234).
+            # All exchanges are async device_put + tiny row-write
+            # programs — the host never blocks, so the two submesh
+            # queues genuinely overlap.
+            self._place_pipeline_state()
+            self._set_rows_M = jax.jit(
+                lambda est, idx0, rows: jax.lax.dynamic_update_slice(
+                    est, rows, (idx0, jnp.int32(0), jnp.int32(0))),
+                donate_argnums=(0,))
+            self._get_rows_T = jax.jit(
+                lambda est, idx0, n: jax.lax.dynamic_slice(
+                    est, (idx0, jnp.int32(0), jnp.int32(0)), (n, 4, 4)),
+                static_argnames=("n",))
+            self._last_mapped_idx = -1
         self.gt_poses = np.zeros((self.n_img, 4, 4), np.float32)
         self.frame_times: list[float] = []
         self.frame_start_wall: list[float] = []
@@ -287,6 +350,14 @@ class SLAMSystem:
         self.metrics_path = os.path.join(self.output, "metrics.jsonl")
         self._metrics_f = open(self.metrics_path, "a")
         self._pending_metrics: list[dict] = []
+        # Compile wall is a first-class metric (see utils/compilelog.py):
+        # every expensive trace/lower/compile lands in metrics.jsonl, and
+        # compile_secs totals the real backend compiles (cache hits
+        # excluded) for bench.py to report.
+        from myslam_tpu.utils import compilelog
+        compilelog.install()
+        self._compilelog = compilelog
+        self.compile_secs = 0.0
         # Each flush costs one ~90 ms tunnel round-trip for the batched
         # scalar fetch; amortize it over many frames.
         self.metrics_flush_every = 200
@@ -328,6 +399,13 @@ class SLAMSystem:
         """Host view of the estimated trajectory (blocking device fetch)."""
         return np.asarray(self._est_dev)
 
+    @property
+    def _tracking_map(self):
+        """The map snapshot tracking renders against: in pipeline mode
+        the track-submesh copy (one boundary stale, the reference's
+        tolerated staleness); otherwise the canonical map."""
+        return self._track_map_state if self.pipeline else self.map_state
+
     @estimates.setter
     def estimates(self, value) -> None:
         self._est_dev = jnp.asarray(value)
@@ -347,7 +425,12 @@ class SLAMSystem:
             self._flush_metrics()
 
     def _flush_metrics(self) -> None:
+        for rec in self._compilelog.drain():
+            if rec["compile_phase"] == "backend_compile":
+                self.compile_secs += rec["secs"]
+            self._metrics_f.write(json.dumps(rec) + "\n")
         if not self._pending_metrics:
+            self._metrics_f.flush()
             return
         # Pipelined fetch: start every array's D2H copy, then resolve.
         arrays: dict[int, jnp.ndarray] = {}
@@ -371,6 +454,20 @@ class SLAMSystem:
             self._metrics_f.write(json.dumps(rec) + "\n")
         self._metrics_f.flush()
         self._pending_metrics = []
+
+    def _place_pipeline_state(self) -> None:
+        """Place/replace pipeline state on its submeshes: map state +
+        keyframe store + est_M on the map submesh; trajectory + track
+        snapshot on the track submesh.  Used at init and after resume."""
+        self.map_state = jax.device_put(self.map_state, self._repl_M)
+        self._track_map_state = jax.device_put(self.map_state, self._repl_T)
+        self._est_dev = jax.device_put(self._est_dev, self._repl_T)
+        self._est_M = jax.device_put(self._est_dev, self._repl_M)
+        self.store.colors = jax.device_put(self.store.colors, self._repl_M)
+        self.store.depths = jax.device_put(self.store.depths, self._repl_M)
+        self.store.est_c2w = jax.device_put(
+            self.store.est_c2w, self._repl_M)
+        self.store.gt_c2w = jax.device_put(self.store.gt_c2w, self._repl_M)
 
     def _place_store_sharded(self) -> None:
         """Place keyframe imagery sharded over the kf mesh axis (slot
@@ -449,6 +546,13 @@ class SLAMSystem:
                 idx, pkt, first, cur_has_depthless, joint_opt, admit,
                 needs_importance)
             return self._post_map(idx, losses, t0)
+        if self.pipeline:
+            losses = self._map_frame_pipeline(
+                idx, pkt, first, joint_opt, admit, needs_importance)
+            if admit:
+                self.store.note_admitted(
+                    idx, has_depthless=cur_has_depthless)
+            return self._post_map(idx, losses, t0)
         mapper = self._mappers[needs_importance]
         ms_in = self._mapper_state()
         if self._opt_buf is None:
@@ -481,6 +585,68 @@ class SLAMSystem:
             # Buffers were written by the device program; record the slot.
             self.store.note_admitted(idx, has_depthless=cur_has_depthless)
         return self._post_map(idx, losses, t0)
+
+    def _map_frame_pipeline(self, idx, pkt, first, joint_opt, admit,
+                            needs_importance):
+        """Mapped frame on the MAP submesh, overlapped with tracking.
+
+        Every step here is an async dispatch — the host never blocks, so
+        the map program for this boundary executes on the map submesh
+        WHILE the next boundary's fused tracking group runs on the track
+        submesh (the reference's 2-process overlap, src/ESLAM.py:246-260,
+        as two device queues).  Cross-submesh traffic per boundary: the
+        group's tracked poses (G x 16 floats, track->map), and one map
+        snapshot (the atlases, map->track) for the NEXT tracking group —
+        which therefore renders against the PREVIOUS boundary's map, the
+        staleness the reference tolerates (src/Tracker.py:212-234)."""
+        mapper = self._mappers[needs_importance]
+
+        # 1. Tracked poses since the previous boundary -> mapper-side
+        #    trajectory (row write, donated est_M chain).
+        start = self._last_mapped_idx + 1 if idx > 0 else 0
+        n_rows = idx - start + 1
+        rows = self._get_rows_T(self._est_dev, jnp.int32(start), n=n_rows)
+        self._est_M = self._set_rows_M(
+            self._est_M, jnp.int32(start),
+            jax.device_put(rows, self._repl_M))
+        self._last_mapped_idx = idx
+
+        # 2. Snapshot for the NEXT tracking group: the map as of the
+        #    PREVIOUS boundary (its program may still be running on the
+        #    map submesh; the transfer queues behind it, async).
+        self._track_map_state = jax.device_put(
+            self.map_state, self._repl_T)
+
+        # 3. Dispatch this boundary's mapping program on the map submesh.
+        if self._opt_buf is None:
+            self._opt_buf = mapper.jit_init(
+                {"map": self.map_state,
+                 "poses": jnp.zeros((self.w_max, 7), jnp.float32)})
+        iters = self._iters_first if first else self._iters
+        on_chunk = self._make_map_vis_hook(idx, pkt, iters)
+        # device_put handles host numpy (direct H2D to the map submesh)
+        # and track-staged device arrays (one submesh hop) alike.
+        put = lambda x: jax.device_put(x, self._repl_M)  # noqa: E731
+        (ms_out, self._opt_buf, self._est_M, self.store.est_c2w,
+         self.store.gt_c2w, self.store.colors, self.store.depths,
+         losses) = mapper(
+            self.map_state, self._opt_buf, self._est_M,
+            self.store.est_c2w, self.store.gt_c2w, self.store.colors,
+            self.store.depths, put(pkt.color_u8), put(pkt.depth_u16),
+            pkt.depth_inv_q, put(pkt.gt_c2w), idx, self.store.count,
+            self._next_key(),
+            iters=iters,
+            lr_factor=self._lr_first_factor if first else self._lr_factor,
+            joint_opt=joint_opt, admit=admit, on_chunk=on_chunk)
+        self.map_state = ms_out
+        if first:
+            # Frame 0: tracking may not start before the first map is
+            # built (reference src/ESLAM.py:229-232) — point the track
+            # snapshot at map(0)'s output; the first group's tracking
+            # program waits on the transfer, exactly that barrier.
+            self._track_map_state = jax.device_put(
+                self.map_state, self._repl_T)
+        return losses
 
     def _map_frame_host(self, idx, pkt, first, cur_has_depthless,
                         joint_opt, admit, needs_importance):
@@ -606,7 +772,7 @@ class SLAMSystem:
         px_depth = jnp.stack([jnp.asarray(p.px_depth) for _, p, _ in buf])
         (self._est_dev, c2ws, loss_first, loss_best,
          iter_poses) = self.group_tracker(
-            self.map_state, self._est_dev, jnp.int32(idx0),
+            self._tracking_map, self._est_dev, jnp.int32(idx0),
             px_i, px_j, px_color, px_depth, self._next_key())
         ms_per_frame = (time.time() - t0) * 1e3 / len(buf)
         for g, (idx, pkt, rec) in enumerate(buf):
@@ -657,7 +823,7 @@ class SLAMSystem:
         # write-back (est_dev donated).
         (self._est_dev, c2w, loss_first, loss_best,
          iter_poses) = self.tracker(
-            self.map_state, self._est_dev, jnp.int32(idx),
+            self._tracking_map, self._est_dev, jnp.int32(idx),
             jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
             jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth),
             self._next_key())
@@ -685,6 +851,9 @@ class SLAMSystem:
         self._map_banded = None
         if self.kf_shards > 1:
             self._place_store_sharded()
+        if self.pipeline:
+            self._place_pipeline_state()
+            self._last_mapped_idx = start - 1
         if self.verbose:
             print(f"Resumed from {path} at frame {start}")
         return start
@@ -713,7 +882,17 @@ class SLAMSystem:
                 {"map": self._mapper_state(),
                  "poses": jnp.zeros((self.w_max, 7), jnp.float32)})
 
-    def run(self, start_idx: int = 0) -> None:
+    def run(self, start_idx: int = 0, finalize: bool = True) -> None:
+        """Drive the full tracking/mapping loop, then (by default) write
+        the final checkpoint and mesh.  Callers that need the trajectory
+        metrics as early as possible (bench.py prints its JSON line the
+        moment the device queue drains) pass ``finalize=False`` and call
+        :meth:`finalize` themselves."""
+        self.run_loop(start_idx)
+        if finalize:
+            self.finalize()
+
+    def run_loop(self, start_idx: int = 0) -> None:
         prefetch = PacketPrefetcher(
             self.dataset, range(start_idx, self.n_img), self._make_packet,
             stage=True)
@@ -757,6 +936,8 @@ class SLAMSystem:
                 self._flush_track_buf(open_rec=rec)
                 deferred = False
                 jax.block_until_ready(self._est_dev)
+                if self.pipeline:  # drain the map submesh queue too
+                    jax.block_until_ready(self._est_M)
             rec["frame_ms"] = (time.time() - t_frame) * 1e3
             self.frame_times.append(time.time() - t_frame)
             if not deferred:
@@ -765,27 +946,56 @@ class SLAMSystem:
                 print(f"Frame {idx}/{self.n_img}  "
                       f"({idx / max(time.time() - t_start, 1e-9):.2f} fps)")
 
-        # Drain the device queue so fps reflects completed work, then
-        # finalize outputs.
+        # Drain the device queue so fps reflects completed work.  All
+        # throughput/trajectory metrics are final here; checkpoint and
+        # mesh finalization are separate (see finalize()).
         self._flush_track_buf()
+        if self.pipeline:
+            # The mapper-side trajectory is the complete one (every
+            # tracked pose was row-written there each boundary, plus the
+            # joint-BA refinements) — it becomes THE trajectory.
+            self._est_dev = jax.device_put(self._est_M, self._repl_T)
         jax.block_until_ready(self._est_dev)
         self.drain_wall = time.time()
         self._flush_metrics()
 
+    def finalize(self, mesh: bool = True, checkpoint: bool = True) -> None:
+        """Post-loop outputs: final checkpoint, then final mesh.
+
+        Separate from run_loop so callers can read/emit trajectory
+        metrics before paying the checkpoint's device->host state fetch
+        (potentially SLOW: the tunnel's D2H has been measured down to
+        ~0.02 MB/s in degraded states) and the meshing pipeline
+        (reference Mapper.py:437-457 does both inside its loop's last
+        iteration).  ``checkpoint=False`` lets budget-bound callers
+        (bench.py with a degraded link) skip the big fetch."""
         # Final checkpoint (reference Mapper.py:437-438 saves at the last
         # frame; written here, outside the timed loop).
-        if self.n_img > 0:
+        if checkpoint and self.n_img > 0:
             save_checkpoint(
                 os.path.join(
                     self.output, "ckpts", f"{self.n_img - 1:05d}.npz"),
                 self, self.n_img - 1)
 
         # Final mesh (reference Mapper.py:448-456).
+        if not mesh:
+            self._metrics_f.flush()
+            return
         name = "final_mesh_eval_rec.ply" if self.eval_rec else "final_mesh.ply"
         try:
             if self.final_mesh_subprocess:
                 self._final_mesh_in_subprocess()
             else:
+                if len(self.frame_times) > 40:
+                    # Long runs accumulate hundreds of loaded executables
+                    # and aliased (donated) buffers on the remote worker —
+                    # a state in which fresh meshing programs have been
+                    # observed to fault it.  Dropping the dead SLAM-loop
+                    # executables before compiling the meshing pipeline
+                    # removes that state without a fresh process (the
+                    # meshing programs themselves were never cached
+                    # in-process, so this costs nothing).
+                    jax.clear_caches()
                 self._extract_and_cull_mesh(
                     os.path.join(self.output, "mesh", name), upto=self.n_img)
         except Exception as e:  # meshing must not lose the run's trajectory

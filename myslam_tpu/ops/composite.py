@@ -38,3 +38,26 @@ def composite(
     depth = jnp.sum(w * z_vals, axis=-1)
     color = jnp.sum(w[..., None] * rgb, axis=-2)
     return depth, color, w
+
+
+def composite_topk(alpha, z_vals, pts, rgb_at, k: int):
+    """Top-K color compositing (the TPU extension behind
+    ``SceneGeometry.color_topk``; single source of truth — used by both
+    renderer.render_core and the kf-sharded BA's inline renderer).
+
+    Depth composites over ALL samples; color is queried (``rgb_at``:
+    (M, 3) world points -> (M, 3) rgb) only at the K highest-weight
+    samples per ray — weights are surface-peaked, so the K rows capture
+    the composited color while skipping ~(N-K)/N of the color-atlas
+    gather/scatter traffic, the largest cost of a mapping iteration.
+
+    alpha, z_vals: (..., N); pts: (..., N, 3).  Returns (depth, color).
+    """
+    w = composite_weights(alpha)
+    _, top_idx = jax.lax.top_k(jax.lax.stop_gradient(w), k)  # (..., K)
+    pts_k = jnp.take_along_axis(pts, top_idx[..., None], axis=-2)
+    rgb_k = rgb_at(pts_k.reshape(-1, 3)).reshape(top_idx.shape + (3,))
+    w_k = jnp.take_along_axis(w, top_idx, axis=-1)
+    depth = jnp.sum(w * z_vals, axis=-1)
+    color = jnp.sum(w_k[..., None] * rgb_k, axis=-2)
+    return depth, color

@@ -105,8 +105,11 @@ def _cell_index_and_lane_weights(p_nor: jnp.ndarray, layout: PlaneLayout):
     C = layout.c_dim
     C4 = 4 * C
     lane = np.arange(C4)
-    sx = jnp.asarray(np.where((lane // C) % 2 == 1, 1.0, -1.0), jnp.float32)
-    sy = jnp.asarray(np.where(lane >= C4 // 2, 1.0, -1.0), jnp.float32)
+    # numpy constants (not jnp): device-array constants closed over a
+    # jit are fetched D2H during MLIR lowering (see
+    # renderer.SceneGeometry.bound_array).
+    sx = np.where((lane // C) % 2 == 1, 1.0, -1.0).astype(np.float32)
+    sy = np.where(lane >= C4 // 2, 1.0, -1.0).astype(np.float32)
     w = (0.5 + (wx - 0.5) * sx) * (0.5 + (wy - 0.5) * sy)
     return idx, w
 
@@ -199,7 +202,8 @@ def _reduce_matrix(layout: PlaneLayout, dtype) -> jnp.ndarray:
             for corner in range(4):
                 r = p * 4 * C + corner * C
                 m[r:r + C, lvl * C:(lvl + 1) * C] = eye
-    return jnp.asarray(m, dtype)
+    # numpy constant (not jnp): see SceneGeometry.bound_array.
+    return m.astype(dtype)
 
 
 def sample_quad(

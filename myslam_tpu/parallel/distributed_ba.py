@@ -180,23 +180,19 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
         alpha = sdf2alpha(sdf, ms.decoder["beta"][0])
         K = int(getattr(scene, "color_topk", 0))
         if K and K < z_vals.shape[-1]:
-            # Top-K color path (renderer.SceneGeometry.color_topk): RGB
-            # queried only at the K highest-weight samples; weights and
-            # depth keep every sample.  Matches render_core's semantics
-            # so kf-sharded BA sees the same loss as the other mappers.
-            from myslam_tpu.ops.composite import composite_weights
+            # Top-K color path: the shared ops/composite.composite_topk
+            # helper (same source of truth as renderer.render_core), so
+            # kf-sharded BA sees the same loss as the other mappers.
+            from myslam_tpu.ops.composite import composite_topk
 
-            w = composite_weights(alpha)
-            _, top_idx = jax.lax.top_k(jax.lax.stop_gradient(w), K)
-            pts_k = jnp.take_along_axis(pts, top_idx[..., None], axis=-2)
-            p_nor_k = normalize_3d_coordinate(pts_k.reshape(-1, 3), bound)
-            rgb_k = decode_rgb_corners(
-                ms.decoder,
-                sample_fused(quads[1], scene.color_layout, p_nor_k),
-                row_map_color).reshape(top_idx.shape + (3,))
-            w_k = jnp.take_along_axis(w, top_idx, axis=-1)
-            depth = jnp.sum(w * z_vals, axis=-1)
-            color = jnp.sum(w_k[..., None] * rgb_k, axis=-2)
+            def rgb_at(p):
+                return decode_rgb_corners(
+                    ms.decoder,
+                    sample_fused(quads[1], scene.color_layout,
+                                 normalize_3d_coordinate(p, bound)),
+                    row_map_color)
+
+            depth, color = composite_topk(alpha, z_vals, pts, rgb_at, K)
             return depth, color, sdf, rays_o, rays_d
         rgb = decode_rgb_corners(
             ms.decoder, sample_fused(quads[1], scene.color_layout, p_nor),
@@ -204,27 +200,9 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
         depth, color, _ = composite(alpha, z_vals, rgb)
         return depth, color, sdf, rays_o, rays_d
 
-    def local_rays(slot_kf, n_slots, kf_colors_l, kf_depths_l, key):
-        """This shard's ray batch, drawn from the window slots it owns."""
-        me = jax.lax.axis_index(kf_axis)
-        cap_l = kf_depths_l.shape[0]
-        W = slot_kf.shape[0]
-        pos = jnp.arange(W)
-        owned = ((slot_kf // cap_l) == me) & (pos < n_slots)
-        (owned_pos,) = jnp.nonzero(owned, size=W, fill_value=0)
-        k_own = jnp.sum(owned.astype(jnp.int32))
-        p = owned_pos[jnp.arange(n_rays) % jnp.maximum(k_own, 1)]  # (R,)
-        valid = k_own > 0
-        local_slot = (slot_kf % cap_l)[p]
-
-        ki, kj = jax.random.split(jax.random.fold_in(key, me))
-        i = jax.random.randint(ki, (n_rays,), 0, cam.W).astype(jnp.float32)
-        j = jax.random.randint(kj, (n_rays,), 0, cam.H).astype(jnp.float32)
-        flat = (local_slot * HW + j.astype(jnp.int32) * cam.W
-                + i.astype(jnp.int32))
-        px_depth = kf_depths_l.reshape(-1)[flat]
-        px_color = kf_colors_l.reshape(-1, 3)[flat].astype(jnp.float32)
-        return p, i, j, px_depth, px_color, valid
+    # Per-shard ray draw: the shared picker (one source of truth with
+    # make_kf_frame_mapper).
+    local_rays = make_local_ray_picker(cam, n_rays, kf_axis)
 
     def map_loss(ms, poses, pose_mask, p, i, j, px_depth, px_color,
                  z_vals, valid):
@@ -481,6 +459,12 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
             key, scene, rays_o, rays_d, px_depth, importance, q)
 
         def r_one(pose7, i1, j1, d1, c1, z1):
+            # INTENTIONALLY exact-color (no top-K) even when the map
+            # loss uses color_topk: the Schur residual is differentiated
+            # wrt the POSE, and top-K's pose gradient is discontinuous
+            # at index-set changes — the reduced system stays smooth by
+            # compositing color at every sample (the per-ray cost is
+            # paid once per pose-solve, not per map iteration).
             c2w = cam_pose_to_matrix(pose7[None])[0]
             ro, rd = rays_from_uv(
                 i1[None], j1[None], c2w, cam.fx, cam.fy, cam.cx, cam.cy)

@@ -162,8 +162,11 @@ def make_local_fns(slayout: ShardedPlaneLayout, axis: str):
     P_ = L * 3
 
     lane = np.arange(C4)
-    sx = jnp.asarray(np.where((lane // C) % 2 == 1, 1.0, -1.0), jnp.float32)
-    sy = jnp.asarray(np.where(lane >= C4 // 2, 1.0, -1.0), jnp.float32)
+    # numpy constants (not jnp): device-array constants closed over a
+    # jit are fetched D2H during MLIR lowering (see
+    # renderer.SceneGeometry.bound_array).
+    sx = np.where((lane // C) % 2 == 1, 1.0, -1.0).astype(np.float32)
+    sy = np.where(lane >= C4 // 2, 1.0, -1.0).astype(np.float32)
 
     def pack_local(local, d):
         parts = []

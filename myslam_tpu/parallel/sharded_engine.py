@@ -73,10 +73,13 @@ class ShardedMapGeometry:
         self.banded_sharding = NamedSharding(mesh, P(axis, None))
         self.replicated = NamedSharding(mesh, P())
 
-        idx_sdf = jnp.asarray(self.slayout_sdf.to_banded_index())
-        idx_col = jnp.asarray(self.slayout_color.to_banded_index())
-        inv_sdf = jnp.asarray(self.slayout_sdf.from_banded_index())
-        inv_col = jnp.asarray(self.slayout_color.from_banded_index())
+        # numpy, not jnp: build-time device-array constants closed over
+        # a jit are fetched D2H during MLIR lowering (minutes each in
+        # degraded tunnel states — see SceneGeometry.bound_array).
+        idx_sdf = np.asarray(self.slayout_sdf.to_banded_index())
+        idx_col = np.asarray(self.slayout_color.to_banded_index())
+        inv_sdf = np.asarray(self.slayout_sdf.from_banded_index())
+        inv_col = np.asarray(self.slayout_color.from_banded_index())
 
         def to_banded(atlas, idx):
             # Padding rows -> 0 (never sampled; halo weight at the true

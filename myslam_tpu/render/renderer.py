@@ -28,7 +28,12 @@ from myslam_tpu.core.sampling import (
 )
 from myslam_tpu.models.decoders import decode_rgb_corners, decode_sdf_corners
 from myslam_tpu.models.planes import MapState, PlaneLayout
-from myslam_tpu.ops.composite import composite, composite_weights, sdf2alpha
+from myslam_tpu.ops.composite import (
+    composite,
+    composite_topk,
+    composite_weights,
+    sdf2alpha,
+)
 from myslam_tpu.ops.plane_sample import (
     pack_quad,
     reduced_row_map,
@@ -69,8 +74,16 @@ class SceneGeometry:
     color_topk: int = 0
 
     @property
-    def bound_array(self) -> jnp.ndarray:
-        return jnp.asarray(self.bound, dtype=jnp.float32)
+    def bound_array(self) -> np.ndarray:
+        # HOST (numpy) constant, deliberately: closures capture this in
+        # every jitted program, and a jax.Array constant is fetched
+        # device->host during MLIR lowering (array._value inside
+        # ir_constant).  Through the remote-TPU tunnel one such fetch
+        # has been measured at 300+ s in degraded link states — it was
+        # the entire frame-0 "compile" mystery (round 2's 414 s).  A
+        # numpy constant embeds its bytes directly.
+        # tests/test_lowering_consts.py guards the whole program set.
+        return np.asarray(self.bound, dtype=np.float32)
 
     @property
     def n_samples(self) -> int:
@@ -198,17 +211,13 @@ def render_core(
     alpha = sdf2alpha(sdf, q.beta)
     K = int(scene.color_topk)
     if K and K < scene.n_samples:
-        # Top-K color path (see SceneGeometry.color_topk): weights from
-        # the full SDF; RGB queried only at the K highest-weight samples.
-        w = composite_weights(alpha)
-        _, top_idx = jax.lax.top_k(jax.lax.stop_gradient(w), K)  # (R, K)
-        pts_k = jnp.take_along_axis(pts, top_idx[..., None], axis=1)
-        p_nor_k = normalize_3d_coordinate(
-            pts_k.reshape(-1, 3), scene.bound_array)
-        rgb_k = q.rgb(p_nor_k).reshape(top_idx.shape + (3,))
-        w_k = jnp.take_along_axis(w, top_idx, axis=1)
-        depth = jnp.sum(w * z_vals, axis=-1)
-        color = jnp.sum(w_k[..., None] * rgb_k, axis=-2)
+        # Top-K color path (see SceneGeometry.color_topk; shared helper
+        # in ops/composite.py): weights from the full SDF; RGB queried
+        # only at the K highest-weight samples.
+        depth, color = composite_topk(
+            alpha, z_vals, pts,
+            lambda p: q.rgb(normalize_3d_coordinate(p, scene.bound_array)),
+            K)
         return depth, color, sdf, z_vals
     rgb = q.rgb(p_nor).reshape(z_vals.shape + (3,))
     depth, color, _ = composite(alpha, z_vals, rgb)

@@ -145,7 +145,10 @@ def main():
         return run
 
     def mk_scatter_sorted(iters):
-        # sort rows by cell then segment-reduce equal cells, scatter once
+        # SORTED-INDEX scatter: argsort rows by destination cell so the
+        # scatter-add sees monotone indices (XLA/TPU can then coalesce
+        # row updates), but still scatter all 6N rows — no segment-sum /
+        # unique-cell reduction is performed.
         @jax.jit
         def run():
             def body(i, acc):
@@ -153,7 +156,6 @@ def main():
                 order = jnp.argsort(c)
                 cs = c[order]
                 us = upd_comb[order]
-                # segment boundaries
                 buf = jnp.zeros((S, 128), jnp.float32)
                 buf = buf.at[cs].add(us)
                 return acc + buf[0, 0]

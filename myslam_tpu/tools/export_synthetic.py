@@ -77,6 +77,40 @@ def export_replica(cfg: dict, out_dir: str, n_frames: int | None = None,
         f.write("\n".join(lines) + "\n")
 
 
+def export_scannet(cfg: dict, out_dir: str, n_frames: int | None = None,
+                   png_depth_scale: float = 1000.0,
+                   invalid_frames: tuple = (),
+                   holes: bool = False) -> None:
+    """ScanNet layout: color/{i}.jpg, depth/{i}.png, pose/{i}.txt
+    (4x4 text matrices, reader-flip pre-applied, numeric-sort names —
+    reference datasets.py:140-167).  ``invalid_frames`` get -inf pose
+    files, the real-ScanNet sensor-dropout quirk whose frames
+    eval_ate's convert_poses must mask (reference eval_ate.py:262-281).
+    """
+    import cv2
+
+    from myslam_tpu.utils.datasets import Synthetic
+
+    ds = Synthetic(cfg)
+    n = min(n_frames or len(ds), len(ds))
+    for sub in ("color", "depth", "pose"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    for i in range(n):
+        color, depth, pose = ds.get_frame(i)
+        if holes:
+            depth = _punch_hole(depth, i)
+        bgr = cv2.cvtColor(
+            (np.clip(color, 0, 1) * 255).astype(np.uint8),
+            cv2.COLOR_RGB2BGR)
+        cv2.imwrite(os.path.join(out_dir, "color", f"{i}.jpg"), bgr,
+                    [cv2.IMWRITE_JPEG_QUALITY, 98])
+        d16 = np.clip(depth * png_depth_scale, 0, 65535).astype(np.uint16)
+        cv2.imwrite(os.path.join(out_dir, "depth", f"{i}.png"), d16)
+        p = (np.full((4, 4), -np.inf) if i in invalid_frames
+             else _unflip(pose))
+        np.savetxt(os.path.join(out_dir, "pose", f"{i}.txt"), p)
+
+
 def export_tum(cfg: dict, out_dir: str, n_frames: int | None = None,
                png_depth_scale: float = 5000.0, fps: float = 30.0,
                holes: bool = True) -> None:

@@ -35,9 +35,19 @@ def main():
     if start == 0:
         raise SystemExit("no checkpoint to mesh from")
     name = ("final_mesh_eval_rec.ply" if slam.eval_rec else "final_mesh.ply")
+    import sys
+    import time
+    t0 = time.time()
     out = slam._extract_and_cull_mesh(
         os.path.join(slam.output, "mesh", name), upto=slam.n_img)
-    print(f"Final mesh written to {out}")
+    # Compile-wall breakdown (utils/compilelog.py): meshing cost is
+    # dominated by a handful of large program compiles; print them so a
+    # timed run shows compile vs compute directly.
+    from myslam_tpu.utils import compilelog
+    for rec in compilelog.drain():
+        print(f"[compile] {rec['fun']} {rec['compile_phase']}: "
+              f"{rec['secs']} s", file=sys.stderr)
+    print(f"Final mesh written to {out} ({time.time() - t0:.1f} s)")
 
 
 if __name__ == "__main__":

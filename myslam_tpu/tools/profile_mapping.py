@@ -86,6 +86,10 @@ def main():
                     help="write a jax.profiler trace to this dir")
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the profile JSON here (e.g. the "
+                         "repo-root perf_profile.json that "
+                         "tools/scaling_report.py consumes)")
     args = ap.parse_args()
 
     from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
@@ -140,12 +144,35 @@ def main():
         jax.block_until_ready(tout[1])
     track_ms = (time.time() - t0) / reps * 1e3
 
+    # Dense-Adam atlas update alone (the part of a mapping iteration
+    # that does NOT shard under ray DP: every chip updates the full
+    # replicated atlases).  5 HBM passes over the atlas bytes (read
+    # m, v, p; write m, v, p minus overlap) — measured, not assumed.
+    import optax
+
+    opt = optax.adam(1e-3)
+    opt_state0 = opt.init(ms)
+
+    @jax.jit
+    def opt_only(params, opt_state, grads):
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    grads0 = jtu.tree_map(jnp.ones_like, ms)
+    p, s = opt_only(jtu.tree_map(jnp.copy, ms), opt_state0, grads0)
+    jax.block_until_ready(jtu.tree_leaves(p)[0])
+    t0 = time.time()
+    for _ in range(reps):
+        p, s = opt_only(p, s, grads0)
+        jax.block_until_ready(jtu.tree_leaves(p)[0])
+    opt_ms = (time.time() - t0) / reps * 1e3
+
     # XLA's own cost model for one mapping chunk
     lowered = mapper.jit_chunk.lower(
         {"map": ms, "poses": poses}, mapper.jit_init(
             {"map": ms, "poses": poses}),
         mask, slot_kf, jnp.int32(W), kf_colors, kf_depths, key,
-        jnp.int32(0), jnp.float32(1.0), chunk=n_iters)
+        jnp.int32(0), jnp.float32(1.0), jnp.int32(n_iters), chunk=n_iters)
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
@@ -155,8 +182,13 @@ def main():
     per_iter_ms = map_ms / n_iters
     gather_b = analytic_gather_bytes(scene, int(cfg["mapping"]["pixels"]))
     report = {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "map_step_ms": round(map_ms, 2),
-        "map_iter_ms": round(per_iter_ms, 3),
+        # Split for the scaling model: map_iter_ms (loss+grad, shards
+        # under ray DP) vs map_opt_ms (dense Adam atlas update,
+        # replicated under DP).  The measured step includes both.
+        "map_iter_ms": round(max(per_iter_ms - opt_ms, 0.0), 3),
+        "map_opt_ms": round(opt_ms, 3),
         "track_step_ms": round(track_ms, 2),
         "track_iter_ms": round(track_ms / it_n, 3),
         "xla_flops_per_chunk": flops,
@@ -180,6 +212,9 @@ def main():
             jax.block_until_ready(out[-1])
         report["trace_dir"] = args.trace
 
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
     if args.json:
         print(json.dumps(report))
     else:

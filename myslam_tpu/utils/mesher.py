@@ -19,6 +19,7 @@ Re-design of the reference Mesher (src/utils/Mesher.py):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -55,6 +56,75 @@ def _backproject_all(c2ws, depths, fx, fy, cx, cy, H, W, stride):
         return rays_o + rays_d * d[..., None], d
 
     return jax.vmap(one)(c2ws, depths)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "stride", "dims"))
+def _voxel_votes(c2ws, depths, count, fx, fy, cx, cy, H, W, stride,
+                 origin, inv_voxel, dims):
+    """Back-project all store slots and scatter VOTES into a coarse
+    dense voxel grid — entirely on device.  Returns (dims,) int32.
+
+    The hull construction used to fetch the raw subsampled point cloud
+    (~6.5 MB); device-to-host through the remote-TPU tunnel has been
+    measured as low as ~0.1 MB/s in degraded states, which turned the
+    bound-hull phase into minutes.  The occupancy grid is ~50 KB and the
+    voxel quantization is conservative-ized host-side by hulling voxel
+    CORNERS (reference context: the bound hull comes from a TSDF fused
+    at comparable resolution, src/utils/Mesher.py:63-128, so quantized
+    occupancy is if anything closer to the reference than raw points).
+    """
+    from myslam_tpu.core.geometry import rays_from_uv
+
+    j, i = jnp.meshgrid(
+        jnp.arange(0, H, stride, dtype=jnp.float32),
+        jnp.arange(0, W, stride, dtype=jnp.float32), indexing="ij")
+    nx, ny, nz = dims
+
+    def one(slot, votes):
+        c2w = c2ws[slot]
+        depth = depths[slot][::stride, ::stride]
+        rays_o, rays_d = rays_from_uv(i, j, c2w, fx, fy, cx, cy)
+        pts = rays_o + rays_d * depth[..., None]
+        cell = jnp.floor((pts - origin) * inv_voxel).astype(jnp.int32)
+        inb = (jnp.all((cell >= 0), axis=-1)
+               & (cell[..., 0] < nx) & (cell[..., 1] < ny)
+               & (cell[..., 2] < nz) & (depth > 0) & (slot < count))
+        flat = (cell[..., 0] * ny + cell[..., 1]) * nz + cell[..., 2]
+        flat = jnp.where(inb, flat, nx * ny * nz)  # OOB bucket, dropped
+        return votes.at[flat.reshape(-1)].add(1, mode="drop")
+
+    votes = jnp.zeros((nx * ny * nz,), jnp.int32)
+    votes = jax.lax.fori_loop(0, c2ws.shape[0], one, votes)
+    return votes
+
+
+def hull_points_device(store, cam, bound: np.ndarray, stride: int = 8,
+                       voxel: float = 0.1, min_votes: int = 1,
+                       margin: float = 0.3) -> np.ndarray:
+    """Observed-space point set for the bound hull, device-reduced.
+
+    Votes accumulate on device into a coarse grid over bound+margin;
+    the host fetches only the ~50 KB grid, keeps cells with >=
+    min_votes (the voxel-vote denoise that replaces the reference's
+    TSDF smoothing), and emits the 8 CORNERS of each occupied voxel —
+    a superset hull of the contained points — plus the camera centers
+    (reference includes them, Mesher.py:114)."""
+    lo = bound[:, 0] - margin
+    hi = bound[:, 1] + margin
+    dims = tuple(int(np.ceil((hi[a] - lo[a]) / voxel)) for a in range(3))
+    votes = _voxel_votes(
+        store.est_c2w, store.depths, jnp.int32(store.count),
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.H, cam.W, stride,
+        jnp.asarray(lo, jnp.float32), jnp.float32(1.0 / voxel), dims)
+    v = np.asarray(votes).reshape(dims)
+    occ = np.argwhere(v >= max(min_votes, 1))
+    if len(occ) == 0:
+        occ = np.zeros((1, 3), np.int64)
+    corners = occ[:, None, :] + np.array(
+        [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)])
+    pts = lo[None, None, :] + corners * voxel
+    cams = np.asarray(store.est_c2w[:store.count, :3, 3])
+    return np.concatenate([pts.reshape(-1, 3), cams], axis=0)
 
 
 def backproject_keyframes(store, cam, stride: int = 8) -> np.ndarray:
@@ -277,15 +347,39 @@ class Mesher:
         weld, vertex colors — runs on device; the only D2H transfers are
         the final compact arrays (verts f32, faces i32, colors u8).
         """
+        import sys
+        import time as _time
+        timing = os.environ.get("MYSLAM_TIMING", "0") == "1" or self.verbose
+        marks = [("start", _time.time())]
+
+        def mark(name, *sync):
+            for a in sync:
+                jax.block_until_ready(a)
+            marks.append((name, _time.time()))
+            if timing:
+                print(f"[mesher] {name}: "
+                      f"{marks[-1][1] - marks[-2][1]:.1f} s",
+                      file=sys.stderr, flush=True)
+
         hull = None
         if store is not None and store.count > 0:
-            pts = backproject_keyframes(store, self.cam)
-            pts = denoise_observed_points(
-                pts, store.count, min_votes=self.bound_min_votes)
+            if getattr(store, "host_mode", False):
+                pts = backproject_keyframes(store, self.cam)
+                pts = denoise_observed_points(
+                    pts, store.count, min_votes=self.bound_min_votes)
+            else:
+                # Device-reduced: only the ~50 KB occupancy grid crosses
+                # the (slow, sometimes pathologically slow) D2H link.
+                pts = hull_points_device(
+                    store, self.cam, np.asarray(self.scene.bound_array),
+                    min_votes=self.bound_min_votes)
             hull = HullBound(pts, self.mesh_bound_scale)
+        mark("hull")
         vol, (xs, ys, zs) = self.eval_sdf_volume(ms, hull)
+        mark("sdf_volume", vol)
         verts_d, faces_d, n_verts, n_tris = extract_isosurface_device(
             vol, level=self.level_set)
+        mark("marching")
         if n_tris == 0:
             write_ply(out_file, np.zeros((0, 3), np.float32),
                       np.zeros((0, 3), np.int32), None)
@@ -296,11 +390,17 @@ class Mesher:
         verts_world = origin + verts_d * spacing
         colors = None
         if color:
+            # Slice to the real counts ON DEVICE before fetching: the
+            # capacity-padded buffers can be 2x the real mesh and D2H
+            # through the tunnel runs at ~11 MB/s.
             colors = np.asarray(
-                self.vertex_colors_u8_device(ms, verts_world))[:n_verts]
-        verts = np.asarray(verts_world)[:n_verts]
-        faces = np.asarray(faces_d)[:n_tris]
+                self.vertex_colors_u8_device(ms, verts_world)[:n_verts])
+            mark("vertex_colors")
+        verts = np.asarray(verts_world[:n_verts])
+        faces = np.asarray(faces_d[:n_tris])
+        mark("fetch")
         write_ply(out_file, verts / self.scale, faces, colors)
+        mark("write_ply")
         if self.verbose:
             print(f"Saved mesh ({n_verts} verts, {n_tris} faces) "
                   f"at {out_file}")

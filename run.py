@@ -32,7 +32,6 @@ def main():
     print(f"INFO: frames: {slam.n_img}, "
           f"camera {slam.cam.W}x{slam.cam.H}, "
           f"keyframe capacity {slam.store.capacity}")
-    slam.final_mesh_subprocess = True
     start = slam.resume() if args.resume else 0
     slam.run(start)
     print(f"INFO: done — {slam.fps:.2f} frames/s average")

@@ -83,11 +83,17 @@ def test_sharded_gradients_match(setup):
 
 def test_sharded_mapper_matches_single_shard():
     """A full sharded-map BA step on a 4-device mesh reproduces the
-    1-device (degenerate sharding) run: same pixels, same losses."""
+    1-device (degenerate sharding) run: same pixels, same losses.
+
+    Drives the PRODUCT composition (engine/mapper.make_mapper over the
+    ShardedMapGeometry banded backend — the same pairing the scheduler's
+    parallel.map_shards mode uses) rather than a separate library-level
+    implementation."""
     from myslam_tpu.engine.camera import Camera
+    from myslam_tpu.engine.mapper import make_mapper
     from myslam_tpu.models.decoders import init_decoder_params
     from myslam_tpu.models.planes import init_map_state
-    from myslam_tpu.parallel.sharded_mapper import make_sharded_mapper
+    from myslam_tpu.parallel.sharded_engine import ShardedMapGeometry
     from myslam_tpu.render.renderer import SceneGeometry
     from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
     import copy, os
@@ -122,11 +128,13 @@ def test_sharded_mapper_matches_single_shard():
     out = {}
     for n in (1, 4):
         mesh = Mesh(np.array(jax.devices()[:n]), ("map",))
-        step, shard, unshard = make_sharded_mapper(
-            cfg, scene, cam, mesh, iters=3)
-        state = shard(ms)
-        state, poses_out, losses = step(state, *args)
-        ms_out = unshard(state, ms)
+        smg = ShardedMapGeometry(mesh, scene)
+        step = make_mapper(cfg, scene, cam,
+                           queries_factory=smg.queries_factory)
+        banded = smg.shard(ms)
+        banded, poses_out, losses = step(
+            banded, *args, iters=3, lr_factor=1.0)
+        ms_out = smg.unshard(banded)
         out[n] = (np.asarray(losses), np.asarray(ms_out.sdf_atlas),
                   np.asarray(poses_out))
     np.testing.assert_allclose(out[1][0], out[4][0], rtol=2e-4, atol=2e-5)

@@ -17,6 +17,7 @@ import pytest
 
 from myslam_tpu.tools.export_synthetic import (
     export_replica,
+    export_scannet,
     export_tum,
     transform_bound,
     tum_world_transform,
@@ -76,6 +77,64 @@ def test_replica_layout_e2e(tmp_path):
     assert np.isfinite(t_replica).all()
     assert t_replica.max() < 2.0 * t_direct.max() + 0.01, (
         t_replica, t_direct)
+
+
+def test_scannet_layout_e2e(tmp_path):
+    """ScanNet layout end-to-end (VERDICT r2 item 7): numeric-sorted
+    color/depth/pose files, crop_edge 10, 48 stratified samples, depth
+    holes, and — the ScanNet-defining quirk — nan/inf GT-pose frames
+    flowing through tracking -> checkpoint -> eval_ate masking
+    (reference datasets.py:140-167, eval_ate.py:262-281,
+    configs/ScanNet/scannet.yaml)."""
+    cfg = _base_cfg()
+    data_dir = str(tmp_path / "scannet_data")
+    invalid = (3, 5)  # frame 0 must stay valid (adopted as start pose)
+    export_scannet(cfg, data_dir, n_frames=N_FRAMES,
+                   invalid_frames=invalid, holes=True)
+    assert os.path.isfile(os.path.join(data_dir, "pose", "0.txt"))
+
+    cfg_s = copy.deepcopy(cfg)
+    cfg_s["dataset"] = "scannet"
+    cfg_s["data"]["input_folder"] = data_dir
+    cfg_s["cam"]["png_depth_scale"] = 1000.0
+    # ScanNet-specific knobs (reference configs/ScanNet/scannet.yaml):
+    cfg_s["cam"]["crop_edge"] = 10
+    cfg_s["rendering"]["n_stratified"] = 48
+    slam_s, t_err = _run(cfg_s, str(tmp_path / "scannet"))
+
+    # crop_edge shrank the camera the reference way
+    assert (slam_s.cam.H, slam_s.cam.W) == (
+        cfg["cam"]["H"] - 20, cfg["cam"]["W"] - 20)
+    # invalid GT poses arrived non-finite; everything else finite
+    assert not np.isfinite(slam_s.gt_poses[list(invalid)]).all()
+    assert np.isfinite(slam_s.estimates).all()
+    # depth holes drove the importance branch from file data
+    assert any(slam_s.store.has_depthless[:slam_s.store.count])
+
+    # checkpoint -> eval_ate chain: the masking drops exactly the
+    # invalid frames and yields a finite ATE on the rest
+    from myslam_tpu.tools.eval_ate import convert_poses, evaluate_run
+    from myslam_tpu.utils.logger import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(slam_s.output, "ckpts"))
+    data = np.load(ckpt, allow_pickle=True)
+    n = int(data["idx"]) + 1
+    assert n == N_FRAMES
+    _, mask = convert_poses(data["gt_c2w_list"][:n])
+    assert sorted(np.nonzero(~mask)[0].tolist()) == sorted(invalid)
+    result = evaluate_run(
+        data["estimate_c2w_list"][:n], data["gt_c2w_list"][:n])
+    rmse = result["absolute_translational_error.rmse"]
+    assert result["compared_pose_pairs"] == N_FRAMES - len(invalid)
+    assert np.isfinite(rmse)
+    assert rmse < 0.05, result
+
+    # masked-frame errors (tracked fine, just not evaluable) are not in
+    # the metric; tracked trajectory itself stayed near GT on the valid
+    # frames
+    valid_err = t_err[[i - 1 for i in range(1, N_FRAMES)
+                       if i not in invalid]]
+    assert np.isfinite(valid_err).all()
 
 
 def test_tum_layout_e2e(tmp_path):
