@@ -935,9 +935,7 @@ class SLAMSystem:
             if idx == self.sync_after_frame:
                 self._flush_track_buf(open_rec=rec)
                 deferred = False
-                jax.block_until_ready(self._est_dev)
-                if self.pipeline:  # drain the map submesh queue too
-                    jax.block_until_ready(self._est_M)
+                self._drain_barrier()
             rec["frame_ms"] = (time.time() - t_frame) * 1e3
             self.frame_times.append(time.time() - t_frame)
             if not deferred:
@@ -955,9 +953,23 @@ class SLAMSystem:
             # tracked pose was row-written there each boundary, plus the
             # joint-BA refinements) — it becomes THE trajectory.
             self._est_dev = jax.device_put(self._est_M, self._repl_T)
-        jax.block_until_ready(self._est_dev)
+        self._drain_barrier()
         self.drain_wall = time.time()
         self._flush_metrics()
+
+    def _drain_barrier(self) -> None:
+        """Wait until ALL queued device work is complete.
+
+        A VALUE FETCH, not block_until_ready: through the axon remote
+        backend, block_until_ready has been observed returning in ~5 ms
+        while a ~400 ms mapping chunk was still executing (it made round
+        2/3 throughput read 4x too high); fetching the trajectory's
+        bytes (7.7 KB, one round-trip) provably requires the producing
+        program — and everything queued before it — to have finished.
+        The map state is fetched one scalar deep for the same reason
+        (pipeline mode: forces the map submesh queue too)."""
+        np.asarray(self._est_dev[0])
+        np.asarray(self.map_state.decoder["beta"])
 
     def finalize(self, mesh: bool = True, checkpoint: bool = True) -> None:
         """Post-loop outputs: final checkpoint, then final mesh.
