@@ -37,6 +37,31 @@ from myslam_tpu.render.renderer import (
 )
 
 
+def make_row_sharder(opt_sharding, min_rows: int = 4096):
+    """Constraint applied to atlas-shaped leaves ((rows, C), rows large)
+    of gradient/optimizer pytrees: row-shard them over the DP mesh.
+
+    ZeRO-style optimizer partitioning for ray DP: the dense Adam update
+    of the plane atlases is REPLICATED work under plain DP (measured
+    13.5 ms/iter on v5e — it caps DP scaling at ~3x, see SCALING.md).
+    Row-sharding the Adam moments and the gradient feeding them makes
+    XLA reduce-scatter the gradients, update 1/n of the rows per chip,
+    and all-gather the updated params — the classic ZeRO-1 exchange,
+    expressed purely as sharding constraints.
+    """
+    import jax.tree_util as jtu
+
+    def shard(tree):
+        def f(x):
+            if (hasattr(x, "ndim") and x.ndim == 2
+                    and x.shape[0] >= min_rows):
+                return jax.lax.with_sharding_constraint(x, opt_sharding)
+            return x
+        return jtu.tree_map(f, tree)
+
+    return shard
+
+
 def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
                 ray_sharding=None, importance: bool = True,
                 queries_factory=None):
@@ -153,7 +178,7 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
 
 def _scan_steps(loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
                 n_slots, kf_colors, kf_depths, key, start, lr_scale,
-                chunk: int, total=None):
+                chunk: int, total=None, opt_sharder=None):
     """``chunk`` optimization iterations as one lax.scan.
 
     ``total`` (traced) caps the GLOBAL iteration count: iterations with
@@ -171,7 +196,14 @@ def _scan_steps(loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
         loss, grads = jax.value_and_grad(loss_fn)(
             params, pose_mask, slot_kf, n_slots, kf_colors, kf_depths, k
         )
+        if opt_sharder is not None:
+            # ZeRO-style: row-shard the atlas grads so the Adam moment
+            # update runs 1/n per chip (reduce-scatter + all-gather
+            # instead of all-reduce + replicated update).
+            grads = opt_sharder(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        if opt_sharder is not None:
+            opt_state = opt_sharder(opt_state)
         # Traced lr factor: scales the map groups' updates (the pose
         # group's lr has no factor in the reference, Mapper.py:291-306).
         updates = {
@@ -203,6 +235,7 @@ def make_mapper(
     ray_sharding=None,
     importance: bool = True,
     queries_factory=None,
+    opt_sharding=None,
 ):
     """Build a jitted mapping step (bare BA: window described by caller).
 
@@ -222,6 +255,8 @@ def make_mapper(
     loss_fn, optimizer = _build_core(
         cfg, scene, cam, ray_sharding=ray_sharding, importance=importance,
         queries_factory=queries_factory)
+    opt_sharder = (make_row_sharder(opt_sharding)
+                   if opt_sharding is not None else None)
 
     def run_chunk(
         params,
@@ -240,7 +275,7 @@ def make_mapper(
         return _scan_steps(
             loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
             n_slots, kf_colors, kf_depths, key, start, lr_scale, chunk,
-            total=total)
+            total=total, opt_sharder=opt_sharder)
 
     # The optimization is executed in bounded-duration device programs
     # (<= chunk_iters iterations each) with the Adam state carried across
@@ -307,6 +342,7 @@ def make_frame_mapper(
     ray_sharding=None,
     importance: bool = True,
     queries_factory=None,
+    opt_sharding=None,
 ):
     """The WHOLE mapped frame as one device program (per iteration chunk).
 
@@ -338,6 +374,8 @@ def make_frame_mapper(
     loss_fn, optimizer = _build_core(
         cfg, scene, cam, ray_sharding=ray_sharding, importance=importance,
         queries_factory=queries_factory)
+    opt_sharder = (make_row_sharder(opt_sharding)
+                   if opt_sharding is not None else None)
 
     def run_chunk(params, opt_state, sel, est_dev, kf_est, kf_gt,
                   kf_colors, kf_depths, scr_color_u8, scr_depth_u16,
@@ -371,7 +409,7 @@ def make_frame_mapper(
         params, opt_state, losses = _scan_steps(
             loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
             n_slots, kf_colors, kf_depths, key, start, lr_scale, chunk,
-            total=total)
+            total=total, opt_sharder=opt_sharder)
 
         # Masked pose write-back (reference Mapper.py:352-364,425-426:
         # keyframe entries for optimized window slots; the trajectory only

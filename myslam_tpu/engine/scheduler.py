@@ -197,10 +197,19 @@ class SLAMSystem:
             if nM > 1:
                 self.ray_sharding = NamedSharding(self.mesh_M, P("dp"))
             self.mesh = self.mesh_M
+        self.opt_sharding = None
         if n_dev > 1:
             from myslam_tpu.parallel.mesh import make_mesh, ray_dp_sharding
             self.mesh = make_mesh(n_dev)
             self.ray_sharding = ray_dp_sharding(self.mesh)
+            if bool(par.get("zero_opt", True)):
+                # ZeRO-style optimizer partitioning (see
+                # mapper.make_row_sharder): the dense Adam atlas update
+                # is replicated work under plain ray DP and caps its
+                # scaling at ~3x (SCALING.md); row-sharding the moments
+                # makes it divide by n.  Mathematically identical.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self.opt_sharding = NamedSharding(self.mesh, P("dp", None))
         if self.map_shards > 1:
             from jax.sharding import Mesh
             from myslam_tpu.parallel.sharded_engine import ShardedMapGeometry
@@ -305,7 +314,8 @@ class SLAMSystem:
                 self._mappers[imp] = make_frame_mapper(
                     cfg, self.scene, self.cam, self._select_window,
                     self.w_max, self.scratch_slot,
-                    importance=imp, ray_sharding=self.ray_sharding)
+                    importance=imp, ray_sharding=self.ray_sharding,
+                    opt_sharding=self.opt_sharding)
         # Optimizer-state buffer reused (donated) across mapped frames;
         # values are overwritten by each frame's in-program init.
         self._opt_buf = None

@@ -30,14 +30,16 @@ import numpy as np
 def timeit_program(make_fn, iters=10):
     """ms per op, repetition inside one jitted program (host dispatch to
     a remote device costs ~3-5 ms; keep it out of the measurement)."""
+    from myslam_tpu.utils.timing import barrier
+
     fn = make_fn(iters)
     out = fn()
-    jax.block_until_ready(out)
+    barrier(out)
     best = np.inf
     for _ in range(3):
         t0 = time.time()
         out = fn()
-        jax.block_until_ready(out)
+        barrier(out)  # value fetch: block_until_ready lies via axon
         best = min(best, (time.time() - t0) / iters * 1e3)
     return best
 

@@ -102,15 +102,17 @@ def main():
             return acc
 
         params = {"map": ms, "poses": poses}
+        from myslam_tpu.utils.timing import barrier
+
         t0 = time.time()
         out = grads_scan(params)
-        jax.block_until_ready(out)
+        barrier(out)
         compile_s = time.time() - t0
         best = np.inf
         for _ in range(3):
             t0 = time.time()
             out = grads_scan(params)
-            jax.block_until_ready(out)
+            barrier(out)  # value fetch: block_until_ready lies via axon
             best = min(best, (time.time() - t0) / n_it * 1e3)
         results[mode] = best
         print(f"fuse={mode}: {best:.3f} ms/iter "

@@ -128,7 +128,7 @@ def main():
         ms_w = jax.tree_util.tree_map(jnp.copy, ms)
         ms_w, p_w, l_w = ba(ms_w, poses, mask, slot_kf, n_slots,
                             kf_c, kf_d, jax.random.PRNGKey(7))
-        jax.block_until_ready(l_w)
+        np.asarray(l_w)  # value fetch: trustworthy completion barrier
 
         trace = []
         iters_done = 0
@@ -137,7 +137,7 @@ def main():
             ms, poses, losses = ba(ms, poses, mask, slot_kf, n_slots,
                                    kf_c, kf_d,
                                    jax.random.PRNGKey(7 + iters_done))
-            jax.block_until_ready(losses)
+            np.asarray(losses)  # value fetch barrier
             iters_done += args.chunk
             trace.append({"wall_s": round(time.time() - t0, 3),
                           "iters": iters_done,

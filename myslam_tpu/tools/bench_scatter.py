@@ -88,12 +88,13 @@ def bench_gather(n: int, iters: int) -> None:
             return sample_fused(quad, layout, p_nor)
 
         def time_pts(fn, *args):
+            from myslam_tpu.utils.timing import barrier
             out = fn(*args)
-            jax.block_until_ready(out)
+            barrier(out)
             t0 = time.time()
             for _ in range(iters):
                 out = fn(*args)
-            jax.block_until_ready(out)
+            barrier(out)  # value fetch: block_until_ready lies via axon
             return (time.time() - t0) / iters * 1e3
 
         ref = np.asarray(xla_fwd(quad, p_nor))

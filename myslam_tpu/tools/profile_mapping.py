@@ -118,13 +118,15 @@ def main():
                       kf_depths, key, iters=n_iters, lr_factor=1.0)
 
     # warm up (compile)
+    from myslam_tpu.utils.timing import barrier
+
     out = run_map(jtu.tree_map(jnp.copy, ms))
-    jax.block_until_ready(out[-1])
+    barrier(out[-1])
     t0 = time.time()
     reps = 3
     for _ in range(reps):
         out = run_map(jtu.tree_map(jnp.copy, ms))
-        jax.block_until_ready(out[-1])
+    barrier(out[-1])  # span barrier: amortizes the fetch round-trip
     map_ms = (time.time() - t0) / reps * 1e3
 
     # tracking step (8 iters x 2000 px)
@@ -137,11 +139,11 @@ def main():
     px_color = jnp.full((it_n, n_px, 3), 128, jnp.uint8)
     px_depth = jnp.full((it_n, n_px), 1.5, jnp.float32)
     tout = tracker(ms, poses[1], px_i, px_j, px_color, px_depth, key)
-    jax.block_until_ready(tout[1])
+    barrier(tout[1])
     t0 = time.time()
     for _ in range(reps):
         tout = tracker(ms, poses[1], px_i, px_j, px_color, px_depth, key)
-        jax.block_until_ready(tout[1])
+    barrier(tout[1])
     track_ms = (time.time() - t0) / reps * 1e3
 
     # Dense-Adam atlas update alone (the part of a mapping iteration
@@ -160,11 +162,11 @@ def main():
 
     grads0 = jtu.tree_map(jnp.ones_like, ms)
     p, s = opt_only(jtu.tree_map(jnp.copy, ms), opt_state0, grads0)
-    jax.block_until_ready(jtu.tree_leaves(p)[0])
+    barrier(jtu.tree_leaves(p)[0])
     t0 = time.time()
     for _ in range(reps):
         p, s = opt_only(p, s, grads0)
-        jax.block_until_ready(jtu.tree_leaves(p)[0])
+    barrier(jtu.tree_leaves(p)[0])
     opt_ms = (time.time() - t0) / reps * 1e3
 
     # XLA's own cost model for one mapping chunk

@@ -59,19 +59,24 @@ def atlas_grad_bytes(cfg) -> int:
 
 def project_dp(n, map_iter_ms, map_opt_ms, track_iter_ms, grad_bytes,
                map_iters, track_iters, every_frame, ici_gbps,
-               fixed_ms_per_frame=2.0):
+               fixed_ms_per_frame=2.0, zero_opt=True):
     """Frames/s of the every_frame group at n-way ray DP (serial
     track-then-map order).
 
     The loss+grad compute divides by n (ray batches shard; sharded
-    parity in tests/test_parallel.py); the dense Adam atlas update is
-    REPLICATED work and does NOT divide; each mapping iteration pays one
-    ring all-reduce of the atlas gradients; tracking psums only 7 floats
-    (ignored).  fixed_ms_per_frame covers host packet staging and
-    dispatch (measured ~2 ms/frame steady-state single chip)."""
+    parity in tests/test_parallel.py).  The dense Adam atlas update is
+    REPLICATED work under plain DP (zero_opt=False) and caps scaling;
+    with the default ZeRO-style row-sharded optimizer
+    (parallel.zero_opt, engine/mapper.make_row_sharder) it divides by n
+    — the all-reduce becomes reduce-scatter + all-gather of the SAME
+    ring volume (2(n-1)/n x payload), so comms are unchanged.  Tracking
+    psums only 7 floats (ignored).  fixed_ms_per_frame covers host
+    packet staging and dispatch (measured ~2 ms/frame steady-state
+    single chip)."""
     ring = 2.0 * (n - 1) / n if n > 1 else 0.0
     allreduce_ms = ring * grad_bytes / (ici_gbps * 1e9) * 1e3
-    map_ms = map_iters * (map_iter_ms / n + map_opt_ms + allreduce_ms)
+    opt_ms = map_opt_ms / n if zero_opt else map_opt_ms
+    map_ms = map_iters * (map_iter_ms / n + opt_ms + allreduce_ms)
     track_ms = every_frame * track_iters * (track_iter_ms / n)
     group_ms = map_ms + track_ms + every_frame * fixed_ms_per_frame
     return every_frame / (group_ms / 1e3)
@@ -79,7 +84,8 @@ def project_dp(n, map_iter_ms, map_opt_ms, track_iter_ms, grad_bytes,
 
 def project_pipeline(n_track, n_map, map_iter_ms, map_opt_ms,
                      track_iter_ms, grad_bytes, map_iters, track_iters,
-                     every_frame, ici_gbps, fixed_ms_per_frame=2.0):
+                     every_frame, ici_gbps, fixed_ms_per_frame=2.0,
+                     zero_opt=True):
     """Frames/s with the tracking group and mapping step overlapped on
     disjoint device sets (parallel.pipeline), ray DP inside each set.
     Steady group wall = max(track_group, map_step); the map-snapshot
@@ -88,7 +94,8 @@ def project_pipeline(n_track, n_map, map_iter_ms, map_opt_ms,
     ring_m = 2.0 * (n_map - 1) / n_map if n_map > 1 else 0.0
     allreduce_ms = ring_m * grad_bytes / (ici_gbps * 1e9) * 1e3
     snapshot_ms = grad_bytes / (ici_gbps * 1e9) * 1e3  # one copy/group
-    map_ms = (map_iters * (map_iter_ms / n_map + map_opt_ms
+    opt_ms = map_opt_ms / n_map if zero_opt else map_opt_ms
+    map_ms = (map_iters * (map_iter_ms / n_map + opt_ms
                            + allreduce_ms) + snapshot_ms)
     track_ms = every_frame * track_iters * (track_iter_ms / n_track)
     group_ms = max(map_ms, track_ms) + every_frame * fixed_ms_per_frame
@@ -160,10 +167,13 @@ def main():
 
     dp_rows = []
     for n in (1, 2, 4, 8, 16):
-        fps = project_dp(n, map_iter_ms, map_opt_ms, track_iter_ms,
-                         grad_bytes, map_iters, track_iters, every,
-                         args.ici_gbps)
-        dp_rows.append((n, fps, fps / args.reference_fps))
+        fps_z = project_dp(n, map_iter_ms, map_opt_ms, track_iter_ms,
+                           grad_bytes, map_iters, track_iters, every,
+                           args.ici_gbps, zero_opt=True)
+        fps_r = project_dp(n, map_iter_ms, map_opt_ms, track_iter_ms,
+                           grad_bytes, map_iters, track_iters, every,
+                           args.ici_gbps, zero_opt=False)
+        dp_rows.append((n, fps_z, fps_r, fps_z / args.reference_fps))
     pipe_rows = []
     for n_track, n_map in ((1, 1), (1, 3), (2, 6), (4, 12)):
         fps = project_pipeline(n_track, n_map, map_iter_ms, map_opt_ms,
@@ -182,9 +192,10 @@ def main():
         "allreduce_mb_per_map_iter": round(grad_bytes / 1e6, 2),
         "ici_gbps_assumed": args.ici_gbps,
         "dp_projection": [
-            {"chips": n, "fps": round(f, 2),
+            {"chips": n, "fps": round(fz, 2),
+             "fps_replicated_opt": round(fr, 2),
              "vs_reference_estimate": round(v, 2)}
-            for n, f, v in dp_rows
+            for n, fz, fr, v in dp_rows
         ],
         "pipeline_projection": [
             {"track_chips": a, "map_chips": b, "fps": round(f, 2),
@@ -193,11 +204,19 @@ def main():
         ],
     }
     if args.markdown:
+        print("# Chip-scaling projection (measured inputs)\n")
+        print("Regenerate: `python -m myslam_tpu.tools.profile_mapping "
+              "--out perf_profile.json` on the chip, then "
+              "`python -m myslam_tpu.tools.scaling_report --markdown > "
+              "SCALING.md`.  Inputs and their source are printed below; "
+              "the communication model is explicit in project_dp/"
+              "project_pipeline.\n")
         print("## Ray-DP (serial track->map)\n")
-        print("| chips | projected fps | x reference (est.) |")
-        print("|---|---|---|")
-        for n, f, v in dp_rows:
-            print(f"| {n} | {f:.1f} | {v:.1f}x |")
+        print("| chips | fps (zero_opt, default) | fps (replicated opt) "
+              "| x reference (est.) |")
+        print("|---|---|---|---|")
+        for n, fz, fr, v in dp_rows:
+            print(f"| {n} | {fz:.1f} | {fr:.1f} | {v:.1f}x |")
         print("\n## Pipelined track || map (parallel.pipeline)\n")
         print("| track chips | map chips | projected fps | x reference |")
         print("|---|---|---|---|")

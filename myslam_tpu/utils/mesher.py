@@ -353,8 +353,8 @@ class Mesher:
         marks = [("start", _time.time())]
 
         def mark(name, *sync):
-            for a in sync:
-                jax.block_until_ready(a)
+            from myslam_tpu.utils.timing import barrier
+            barrier(*sync)
             marks.append((name, _time.time()))
             if timing:
                 print(f"[mesher] {name}: "

@@ -31,11 +31,17 @@ def _smoke_cfg(n_devices: int):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_dp_matches_single_device(tmp_path):
+    """8-way ray DP (with the default ZeRO-style row-sharded optimizer
+    state, parallel.zero_opt) reproduces the single-device trajectory —
+    the reduce-scatter/all-gather exchange is mathematically identical
+    to all-reduce + replicated update."""
     from myslam_tpu.engine.scheduler import SLAMSystem
 
     est = {}
     for n_dev in (1, 8):
-        slam = SLAMSystem(_smoke_cfg(n_dev),
+        cfg = _smoke_cfg(n_dev)
+        assert cfg["parallel"].get("zero_opt", True)
+        slam = SLAMSystem(cfg,
                           output=str(tmp_path / f"dp{n_dev}"), seed=0)
         slam.run()
         est[n_dev] = slam.estimates.copy()
