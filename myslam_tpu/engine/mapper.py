@@ -43,11 +43,13 @@ def make_row_sharder(opt_sharding, min_rows: int = 4096):
 
     ZeRO-style optimizer partitioning for ray DP: the dense Adam update
     of the plane atlases is REPLICATED work under plain DP (measured
-    13.5 ms/iter on v5e — it caps DP scaling at ~3x, see SCALING.md).
-    Row-sharding the Adam moments and the gradient feeding them makes
-    XLA reduce-scatter the gradients, update 1/n of the rows per chip,
-    and all-gather the updated params — the classic ZeRO-1 exchange,
-    expressed purely as sharding constraints.
+    0.14 ms/iter on v5e at the Replica operating point — negligible
+    there, but it grows linearly with atlas rows while everything else
+    shards; see PERF.md/SCALING.md).  Row-sharding the Adam moments and
+    the gradient feeding them makes XLA reduce-scatter the gradients,
+    update 1/n of the rows per chip, and all-gather the updated params —
+    the classic ZeRO-1 exchange, expressed purely as sharding
+    constraints, mathematically identical to the replicated update.
     """
     import jax.tree_util as jtu
 

@@ -205,9 +205,10 @@ class SLAMSystem:
             if bool(par.get("zero_opt", True)):
                 # ZeRO-style optimizer partitioning (see
                 # mapper.make_row_sharder): the dense Adam atlas update
-                # is replicated work under plain ray DP and caps its
-                # scaling at ~3x (SCALING.md); row-sharding the moments
-                # makes it divide by n.  Mathematically identical.
+                # is the one part of a mapping iteration that stays
+                # replicated under plain ray DP; row-sharding the
+                # moments makes it divide by n so it stays negligible
+                # at any atlas scale.  Mathematically identical.
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 self.opt_sharding = NamedSharding(self.mesh, P("dp", None))
         if self.map_shards > 1:
@@ -394,13 +395,6 @@ class SLAMSystem:
         # Optional hooks (wired by run.py / tools): called as f(self, idx)
         self.on_map_done = None
         self.input_folder = input_folder
-        # Final meshing in a FRESH process (resuming the final checkpoint):
-        # long runs leave the remote worker with thousands of loaded
-        # executables + aliased buffers, a state where the meshing
-        # programs - correct standalone - have been observed to fault the
-        # TPU worker.  run.py/bench.py turn this on; tests keep it off
-        # (in-process is faster when the process is short-lived).
-        self.final_mesh_subprocess = False
 
     # -- internals ---------------------------------------------------------
 
@@ -808,25 +802,6 @@ class SLAMSystem:
             if rec is not open_rec:
                 self._log_metrics(rec)
 
-    def _final_mesh_in_subprocess(self) -> None:
-        """Run tools/final_mesh.py against the just-written checkpoint in
-        a fresh python process (see final_mesh_subprocess)."""
-        import subprocess
-        import sys
-
-        import yaml
-
-        cfg = dict(self.cfg)
-        cfg.pop("inherit_from", None)
-        cfg_path = os.path.join(self.output, "config_resolved.yaml")
-        with open(cfg_path, "w") as f:
-            yaml.safe_dump(cfg, f)
-        cmd = [sys.executable, "-m", "myslam_tpu.tools.final_mesh",
-               cfg_path, "--output", self.output]
-        if self.input_folder is not None:
-            cmd += ["--input_folder", self.input_folder]
-        subprocess.run(cmd, check=True, timeout=3600)
-
     def _track_frame(self, idx: int, pkt) -> dict:
         t0 = time.time()
         # ONE device program: pose init + 8-iter optimization + trajectory
@@ -1005,21 +980,18 @@ class SLAMSystem:
             return
         name = "final_mesh_eval_rec.ply" if self.eval_rec else "final_mesh.ply"
         try:
-            if self.final_mesh_subprocess:
-                self._final_mesh_in_subprocess()
-            else:
-                if len(self.frame_times) > 40:
-                    # Long runs accumulate hundreds of loaded executables
-                    # and aliased (donated) buffers on the remote worker —
-                    # a state in which fresh meshing programs have been
-                    # observed to fault it.  Dropping the dead SLAM-loop
-                    # executables before compiling the meshing pipeline
-                    # removes that state without a fresh process (the
-                    # meshing programs themselves were never cached
-                    # in-process, so this costs nothing).
-                    jax.clear_caches()
-                self._extract_and_cull_mesh(
-                    os.path.join(self.output, "mesh", name), upto=self.n_img)
+            if len(self.frame_times) > 40:
+                # Long runs accumulate hundreds of loaded executables and
+                # aliased (donated) buffers on the remote worker — a
+                # state in which fresh meshing programs have been
+                # observed to fault it (the round-1/2 workaround was a
+                # whole subprocess).  Dropping the dead SLAM-loop
+                # executables before compiling the meshing pipeline
+                # removes that state in-process; validated by the full
+                # 120-frame bench meshing in-process without fault.
+                jax.clear_caches()
+            self._extract_and_cull_mesh(
+                os.path.join(self.output, "mesh", name), upto=self.n_img)
         except Exception as e:  # meshing must not lose the run's trajectory
             import traceback
             traceback.print_exc()

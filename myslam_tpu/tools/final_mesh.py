@@ -1,13 +1,11 @@
 #!/usr/bin/env python
-"""Final mesh extraction in a fresh process.
+"""Offline mesh extraction from a checkpoint.
 
-Resumes the newest full-state checkpoint and runs the final mesh
-extraction + culling exactly as the in-loop path would
-(scheduler._extract_and_cull_mesh).  Long SLAM runs leave the remote TPU
-worker with thousands of loaded executables and heavily-aliased buffers,
-a state in which the (correct, standalone-verified) meshing programs
-have been observed to fault the worker; a fresh process sidesteps that
-state, and all programs come out of the persistent compilation cache.
+Resumes the newest full-state checkpoint (the framework checkpoints the
+complete map, unlike the reference) and runs the final mesh extraction +
+culling exactly as the in-loop path would
+(scheduler._extract_and_cull_mesh) — re-mesh any finished or
+interrupted run without re-tracking.
 
 CLI: python -m myslam_tpu.tools.final_mesh <config.yaml> [--output DIR]
 """

@@ -147,27 +147,34 @@ def main():
     track_ms = (time.time() - t0) / reps * 1e3
 
     # Dense-Adam atlas update alone (the part of a mapping iteration
-    # that does NOT shard under ray DP: every chip updates the full
-    # replicated atlases).  5 HBM passes over the atlas bytes (read
-    # m, v, p; write m, v, p minus overlap) — measured, not assumed.
+    # that does NOT shard under plain ray DP: every chip updates the
+    # full replicated atlases).  Iterated INSIDE one program — a
+    # host-loop measurement reads dispatch + tunnel latency (~13 ms!)
+    # instead of the actual ~0.1 ms of elementwise HBM work.
     import optax
+    OPT_REPS = 200
 
     opt = optax.adam(1e-3)
     opt_state0 = opt.init(ms)
+    grads0 = jtu.tree_map(jnp.ones_like, ms)
 
     @jax.jit
-    def opt_only(params, opt_state, grads):
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
+    def opt_scan(params, opt_state, grads):
+        def body(carry, _):
+            p, s = carry
+            u, s = opt.update(grads, s, p)
+            return (optax.apply_updates(p, u), s), jnp.float32(0)
 
-    grads0 = jtu.tree_map(jnp.ones_like, ms)
-    p, s = opt_only(jtu.tree_map(jnp.copy, ms), opt_state0, grads0)
+        (p, s), _ = jax.lax.scan(
+            body, (params, opt_state), None, length=OPT_REPS)
+        return p, s
+
+    p, s = opt_scan(jtu.tree_map(jnp.copy, ms), opt_state0, grads0)
     barrier(jtu.tree_leaves(p)[0])
     t0 = time.time()
-    for _ in range(reps):
-        p, s = opt_only(p, s, grads0)
+    p, s = opt_scan(p, s, grads0)
     barrier(jtu.tree_leaves(p)[0])
-    opt_ms = (time.time() - t0) / reps * 1e3
+    opt_ms = (time.time() - t0) / OPT_REPS * 1e3
 
     # XLA's own cost model for one mapping chunk
     lowered = mapper.jit_chunk.lower(
