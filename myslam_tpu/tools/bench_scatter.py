@@ -118,6 +118,25 @@ def bench_gather(n: int, iters: int) -> None:
             print(f"{'pallas_vmem_bf16':22s} skipped: quad exceeds VMEM",
                   flush=True)
 
+        # Manual-DMA gather (the idiom current Mosaic still lowers; f32
+        # rows + tile<=512 per ops/pallas_sample.py toolchain notes).
+        try:
+            from myslam_tpu.ops.pallas_sample import (
+                make_sample_quad_pallas_dma,
+            )
+
+            dma_fn = jax.jit(make_sample_quad_pallas_dma(
+                layout, n, tile=256))
+            got = np.asarray(dma_fn(quad, idx, wx, wy))
+            err = float(np.abs(got - ref).max()
+                        / (np.abs(ref).max() + 1e-9))
+            ms = time_pts(dma_fn, quad, idx, wx, wy)
+            print(f"{'pallas_dma_f32':22s} {ms:8.3f} ms  "
+                  f"rel_err={err:.2e}", flush=True)
+        except Exception as e:
+            print(f"{'pallas_dma_f32':22s} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()
