@@ -119,6 +119,10 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
             return make_queries(ms, scene)
 
     def loss_fn(params, pose_mask, slot_kf, n_slots, kf_colors, kf_depths, key):
+        # slot_kf may arrive as a host numpy constant (the window
+        # mapper's identity ids — kept numpy so it never becomes a
+        # device closure constant); it is tracer-indexed below.
+        slot_kf = jnp.asarray(slot_kf)
         ms: MapState = params["map"]
         poses = params["poses"]
         # Freeze masked poses: identical values, zero gradient.
