@@ -181,7 +181,6 @@ def make_sample_quad_pallas_dma(layout: PlaneLayout, n_points: int,
     C4 = 4 * C
     P = L * 3
     n_tiles = -(-n_points // tile)
-    sx_np, sy_np = _lane_sign_consts(C)
 
     def kernel(idx_ref, quad_ref, wx_ref, wy_ref, out_ref, rows_ref,
                sem_ref):

@@ -1,0 +1,323 @@
+"""Cross-process multi-host execution: worker loop + subprocess launcher.
+
+The reference's whole "distributed" story is two OS processes sharing
+one GPU's memory (/root/reference/src/ESLAM.py:246-260).  This framework
+generalizes that to real multi-host: N processes wired into one JAX
+runtime (``jax.distributed.initialize``), one SPMD program over the
+global device mesh, XLA collectives (psum / ppermute) doing the
+communication the reference did through ``share_memory_()``.
+
+This module makes that path *executable and testable without N TPU
+hosts*: ``launch()`` spawns N OS processes on the CPU backend (gloo
+collectives), each owning ``--xla_force_host_platform_device_count``
+virtual devices, and each runs ``run_minislam`` — a deterministic
+multi-frame SLAM loop (tracking + mapped frames + keyframe admission)
+built from the PRODUCT's own engines:
+
+  * ``mode="dp"``   — ray-batch data parallelism: ``make_mapper`` with
+    ray sharding over the cross-process mesh (grad psum crosses the
+    process boundary every iteration);
+  * ``mode="kf"``   — keyframe-partitioned BA: ``make_distributed_ba``
+    with the imagery slot-sharded over processes; **each process
+    materializes only its own slots** (``host_shard`` +
+    ``jax.make_array_from_process_local_data``) — per-host data feeding,
+    raw pixels never cross the interconnect.
+
+``barrier()`` fences the track→map handoff (the multi-host analog of
+the reference's busy-wait sync, src/Tracker.py:264-267).  The loop is
+bit-deterministic given (mode, frames, seed) up to collective reduction
+order, so a 2-process run must match the single-process run on the same
+global device count — that parity is asserted by
+tests/test_multiprocess.py and __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+
+def tiny_cfg(frames: int = 6, n_devices: int = 4) -> dict:
+    """Small deterministic synthetic-room config for the mini-loop."""
+    from myslam_tpu.utils.config import load_config, update_recursive
+
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    cfg = load_config(
+        os.path.join(repo, "configs", "Synthetic", "room_smoke.yaml"),
+        os.path.join(repo, "configs", "myslam.yaml"))
+    update_recursive(cfg, {
+        "data": {"n_frames": frames},
+        "cam": {"H": 48, "W": 64, "fx": 40.0, "fy": 40.0,
+                "cx": 31.5, "cy": 23.5},
+        "tracking": {"pixels": 16 * n_devices, "iters": 2,
+                     "ignore_edge_W": 4, "ignore_edge_H": 4},
+        "mapping": {"pixels": 16 * n_devices, "iters_first": 4,
+                    "iters": 2},
+        "rendering": {"n_stratified": 8, "n_importance": 4},
+    })
+    return cfg
+
+
+def run_minislam(mode: str = "dp", frames: int = 6, seed: int = 0,
+                 log=print) -> dict:
+    """Deterministic multi-frame SLAM loop over ALL global devices.
+
+    Runs identically under one process or many (SPMD): same inputs, same
+    global mesh, same programs.  Returns host numpy results (every
+    returned array is fully replicated, so any process can fetch it):
+      {"est": (frames, 4, 4), "track_losses": (frames-1,),
+       "map_losses": (n_mapped * iters,)}
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from myslam_tpu.core.quaternion import (
+        cam_pose_to_matrix,
+        matrix_to_cam_pose,
+    )
+    from myslam_tpu.engine.camera import Camera
+    from myslam_tpu.engine.scheduler import compute_bound
+    from myslam_tpu.engine.tracker import make_tracker
+    from myslam_tpu.models.decoders import init_decoder_params
+    from myslam_tpu.models.planes import init_map_state, make_layout
+    from myslam_tpu.parallel.distributed import barrier, host_shard
+    from myslam_tpu.render.renderer import SceneGeometry
+    from myslam_tpu.utils.datasets import get_dataset
+
+    devs = jax.devices()
+    n_dev = len(devs)
+    axis = "dp" if mode == "dp" else "kf"
+    mesh = Mesh(np.array(devs), (axis,))
+    ray_sharding = NamedSharding(mesh, P(axis))
+
+    cfg = tiny_cfg(frames, n_dev)
+    cam = Camera.from_cfg(cfg)
+    bound = compute_bound(cfg)
+    sdf_layout = make_layout(bound, [0.48, 0.24], 8)
+    color_layout = make_layout(bound, [0.48, 0.24], 8)
+    scene = SceneGeometry(
+        sdf_layout, color_layout, tuple(map(tuple, bound.tolist())),
+        0.06, 8, 4, True)
+    dataset = get_dataset(cfg)
+
+    w_max = 4
+    cap = ((w_max + n_dev - 1) // n_dev) * n_dev  # kf-shardable capacity
+    m = cfg["mapping"]
+    iters_first, iters = int(m["iters_first"]), int(m["iters"])
+
+    if mode == "dp":
+        from myslam_tpu.engine.mapper import make_mapper
+        mapper = make_mapper(cfg, scene, cam, ray_sharding=ray_sharding)
+    else:
+        from myslam_tpu.parallel.distributed_ba import make_distributed_ba
+        mappers = {
+            it: make_distributed_ba(cfg, scene, cam, mesh, iters=it,
+                                    pose_solver="adam")
+            for it in (iters_first, iters)}
+
+    tracker = make_tracker(cfg, scene, cam, ray_sharding=ray_sharding)
+
+    key = jax.random.PRNGKey(seed)
+    ms = init_map_state(key, sdf_layout, color_layout,
+                        init_decoder_params(key, c_dim=8))
+
+    # Keyframe store: slot -> frame index (every process knows the full
+    # assignment; imagery materialization is what gets host-sharded).
+    slot_frames: list[int] = []
+
+    def feed_keyframes():
+        """(Re)build the kf imagery buffers for the current store.
+
+        kf mode: slot-sharded across processes; each process renders /
+        loads ONLY its own slots (per-host data feeding).  dp mode: the
+        window is replicated (plain arrays; every process builds all).
+        """
+        H, W = cam.H, cam.W
+        if mode == "dp":
+            colors = np.zeros((cap, H, W, 3), np.float16)
+            depths = np.zeros((cap, H, W), np.float32)
+            for s, fi in enumerate(slot_frames):
+                c, d, _ = dataset.get_frame(fi)
+                colors[s] = c.astype(np.float16)
+                depths[s] = d
+            return jnp.asarray(colors), jnp.asarray(depths)
+        from myslam_tpu.parallel.distributed_ba import kf_sharding
+        sh = kf_sharding(mesh)
+        lo, hi = host_shard(cap)
+        loc_c = np.zeros((hi - lo, H, W, 3), np.float16)
+        loc_d = np.zeros((hi - lo, H, W), np.float32)
+        for s in range(lo, hi):
+            if s < len(slot_frames):
+                c, d, _ = dataset.get_frame(slot_frames[s])
+                loc_c[s - lo] = c.astype(np.float16)
+                loc_d[s - lo] = d
+        kf_c = jax.make_array_from_process_local_data(
+            sh, loc_c, (cap, H, W, 3))
+        kf_d = jax.make_array_from_process_local_data(
+            sh, loc_d, (cap, H, W))
+        return kf_c, kf_d
+
+    def window():
+        """Window slots (newest w_max), poses from est, oldest frozen."""
+        slots = list(range(max(len(slot_frames) - w_max, 0),
+                           len(slot_frames)))
+        n_slots = len(slots)
+        slot_kf = np.zeros((w_max,), np.int32)
+        slot_kf[:n_slots] = slots
+        c2ws = np.stack([est[slot_frames[s]] for s in slots]
+                        + [np.eye(4, dtype=np.float32)] * (w_max - n_slots))
+        pose_mask = np.zeros((w_max,), np.float32)
+        if n_slots > 1:
+            pose_mask[1:n_slots] = 1.0  # oldest fixed (ref Mapper.py:288)
+        poses7 = matrix_to_cam_pose(jnp.asarray(c2ws))
+        return slot_kf, n_slots, poses7, pose_mask, slots
+
+    # Deterministic tracking pixel batches (host RNG, same on every
+    # process).  The scheduler samples these on host too.
+    t = cfg["tracking"]
+    it_n, n_px = int(t["iters"]), int(t["pixels"])
+    ew, eh = int(t["ignore_edge_W"]), int(t["ignore_edge_H"])
+
+    def track_pixels(f):
+        rng = np.random.default_rng(seed * 1000 + f)
+        i = rng.integers(ew, cam.W - ew, size=(it_n, n_px))
+        j = rng.integers(eh, cam.H - eh, size=(it_n, n_px))
+        color, depth, _ = dataset.get_frame(f)
+        px_color = (color[j, i] * 255.0).astype(np.uint8)
+        px_depth = depth[j, i].astype(np.float32)
+        return (i.astype(np.float32), j.astype(np.float32),
+                px_color, px_depth)
+
+    est = np.zeros((frames, 4, 4), np.float32)
+    track_losses: list[float] = []
+    map_losses: list[np.ndarray] = []
+
+    for f in range(frames):
+        if f == 0:
+            est[0] = dataset.get_frame(0)[2]  # adopt GT (ref Tracker.py:276)
+        else:
+            barrier("track")
+            px_i, px_j, px_color, px_depth = track_pixels(f)
+            pose_init = matrix_to_cam_pose(jnp.asarray(est[f - 1][None]))[0]
+            best, tlosses, _ = tracker(ms, pose_init, px_i, px_j,
+                                       px_color, px_depth,
+                                       jax.random.fold_in(key, 2 * f))
+            est[f] = np.asarray(cam_pose_to_matrix(best[None]))[0]
+            track_losses.append(float(np.asarray(tlosses)[-1]))
+
+        if f % 2 == 0:  # mapped frame
+            barrier("map")
+            slot_frames.append(f)
+            kf_c, kf_d = feed_keyframes()
+            slot_kf, n_slots, poses7, pose_mask, slots = window()
+            it = iters_first if f == 0 else iters
+            k = jax.random.fold_in(key, 2 * f + 1)
+            if mode == "dp":
+                ms, poses_out, losses = mapper(
+                    ms, poses7, jnp.asarray(pose_mask),
+                    jnp.asarray(slot_kf), jnp.int32(n_slots),
+                    kf_c, kf_d, k, iters=it, lr_factor=1.0)
+            else:
+                ms, poses_out, losses = mappers[it](
+                    ms, poses7, jnp.asarray(pose_mask),
+                    jnp.asarray(slot_kf), jnp.int32(n_slots), kf_c, kf_d, k)
+            map_losses.append(np.asarray(losses).ravel())
+            c2ws_out = np.asarray(cam_pose_to_matrix(poses_out))
+            for w, s in enumerate(slots):
+                if pose_mask[w] > 0:  # joint-opt write-back
+                    est[slot_frames[s]] = c2ws_out[w]
+
+    barrier("end")
+    out = {"est": est, "track_losses": np.asarray(track_losses),
+           "map_losses": np.concatenate(map_losses)}
+    log(f"minislam[{mode}] over {n_dev} devices / "
+        f"{jax.process_count()} processes: "
+        f"final map loss {out['map_losses'][-1]:.4f}")
+    return out
+
+
+def worker_main(argv=None) -> None:
+    """Entry for one process of a cross-process run (CPU backend)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--pid", type=int, required=True)
+    p.add_argument("--nproc", type=int, required=True)
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--mode", default="dp", choices=("dp", "kf"))
+    p.add_argument("--frames", type=int, default=6)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="")
+    args = p.parse_args(argv)
+
+    import jax
+
+    # This image's site hook pre-registers the TPU plugin; only
+    # jax.config wins over it (see tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
+    from myslam_tpu.parallel.distributed import init_distributed
+
+    init_distributed(coordinator=args.coordinator,
+                     num_processes=args.nproc, process_id=args.pid)
+    out = run_minislam(args.mode, frames=args.frames, seed=args.seed)
+    if args.out and jax.process_index() == 0:
+        with open(args.out, "w") as f:
+            json.dump({k: np.asarray(v).tolist() for k, v in out.items()},
+                      f)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def launch(nproc: int, dev_per_proc: int, mode: str = "dp",
+           frames: int = 6, seed: int = 0, timeout: float = 900.0) -> dict:
+    """Spawn nproc OS processes running run_minislam over one global mesh
+    of nproc*dev_per_proc CPU devices; return process 0's results."""
+    import tempfile
+
+    coord = f"127.0.0.1:{_free_port()}"
+    outfile = os.path.join(tempfile.mkdtemp(prefix="mh_"), "out.json")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={dev_per_proc}")
+    env.pop("JAX_PLATFORMS", None)  # worker sets cpu via jax.config
+    procs = []
+    for pid in range(nproc):
+        cmd = [sys.executable, "-m", "myslam_tpu.parallel.multiproc",
+               "--pid", str(pid), "--nproc", str(nproc),
+               "--coordinator", coord, "--mode", mode,
+               "--frames", str(frames), "--seed", str(seed)]
+        if pid == 0:
+            cmd += ["--out", outfile]
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    fail = None
+    for pid, pr in enumerate(procs):
+        try:
+            out, _ = pr.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        if pr.returncode != 0 and fail is None:
+            fail = (pid, pr.returncode, out)
+    if fail is not None:
+        raise RuntimeError(
+            f"multiproc worker {fail[0]} rc={fail[1]}:\n{fail[2][-4000:]}")
+    with open(outfile) as f:
+        return {k: np.asarray(v) for k, v in json.load(f).items()}
+
+
+if __name__ == "__main__":
+    worker_main()

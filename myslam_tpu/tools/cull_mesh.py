@@ -67,22 +67,70 @@ def make_frame_culler(H, W, fx, fy, cx, cy, truncation, eval_rec: bool):
     return jax.jit(seen)
 
 
+def make_batch_culler(H, W, fx, fy, cx, cy, truncation, eval_rec: bool):
+    """seen_any(ever (N,), verts (N,3), depths (B,Hd,Wd), c2ws (B,4,4),
+    valid (B,)) -> (N,) bool — one program per B frames.
+
+    A per-frame program costs one dispatch + one H2D each through a
+    remote-device tunnel (~3-5 ms dispatch); at thousands of frames that
+    dominated the finalize wall.  Batching B frames per program cuts the
+    dispatch count by B; the OR-reduction stays on device (``ever`` is
+    donated and accumulated across batches).  Tail frames are masked
+    with ``valid`` rather than compiling a second variant.
+    """
+
+    def seen_one(verts, depth, c2w):
+        w2c = invert_pose(c2w)
+        u, v, z = project_points(verts, w2c, fx, fy, cx, cy)
+        Hd, Wd = depth.shape
+        ds = _bilinear_zeros(depth, u * (Wd - 1) / W, v * (Hd - 1) / H)
+        mask = (0 <= -z) & (u < W) & (u > 0) & (v < H) & (v > 0)
+        if eval_rec:
+            mask = mask & (ds + truncation >= -z)
+        return mask
+
+    def seen_any(ever, verts, depths, c2ws, valid):
+        per_frame = jax.vmap(seen_one, in_axes=(None, 0, 0))(
+            verts, depths, c2ws)  # (B, N)
+        return ever | (per_frame & valid[:, None]).any(axis=0)
+
+    return jax.jit(seen_any, donate_argnums=(0,))
+
+
 def cull_mesh(mesh_file: str, cfg: dict, frames, out_file: str | None = None,
-              estimate_c2w_list: np.ndarray | None = None) -> str:
+              estimate_c2w_list: np.ndarray | None = None,
+              frames_per_program: int = 16) -> str:
     """frames: iterable of (depth (H,W) np, c2w (4,4) np) per frame."""
     cam = cfg["cam"]
     verts, faces, colors = read_ply(mesh_file)
     verts_d = jnp.asarray(verts)
-    seen_fn = make_frame_culler(
+    seen_fn = make_batch_culler(
         cam["H"], cam["W"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
         cfg["model"]["truncation"], bool(cfg["meshing"]["eval_rec"]))
 
+    B = frames_per_program
     ever_seen = jnp.zeros((len(verts),), bool)
+    batch: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def flush(batch):
+        n = len(batch)
+        depths = np.stack([d for d, _ in batch]
+                          + [batch[0][0]] * (B - n))
+        c2ws = np.stack([p for _, p in batch]
+                        + [batch[0][1]] * (B - n))
+        valid = np.arange(B) < n
+        return seen_fn(ever_seen, verts_d, jnp.asarray(depths),
+                       jnp.asarray(c2ws), jnp.asarray(valid))
+
     for i, (depth, c2w) in enumerate(frames):
         if estimate_c2w_list is not None:
             c2w = estimate_c2w_list[i]
-        ever_seen = ever_seen | seen_fn(
-            verts_d, jnp.asarray(depth), jnp.asarray(c2w))
+        batch.append((np.asarray(depth), np.asarray(c2w)))
+        if len(batch) == B:
+            ever_seen = flush(batch)
+            batch = []
+    if batch:
+        ever_seen = flush(batch)
 
     ever = np.asarray(ever_seen)
     keep_face = ever[faces].any(axis=1)  # drop faces with all-unseen verts
