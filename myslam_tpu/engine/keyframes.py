@@ -56,19 +56,31 @@ _copy_slot = jax.jit(
     donate_argnums=(0,),
 )
 
+_dequant_depths = jax.jit(
+    lambda u16, inv_q: u16.astype(jnp.float32) * inv_q[:, None, None])
+
 
 class KeyframeStore:
     """Fixed-capacity keyframe imagery + poses.
 
-    ``device="device"`` (default): imagery lives in device HBM (fast path
-    — the fused mapper reads it in place).  ``device="cpu"`` honors the
-    reference's ``keyframe_device: cpu`` escape hatch
-    (/root/reference/configs/ESLAM.yaml:4): imagery stays HOST-side in
-    its quantized wire format (u8 color, u16 depth + per-slot scale) and
-    only the selected BA window is staged to the device per mapped frame
-    — long sequences (ScanNet scene0000: ~1.4k full-res keyframes, >4 GB)
-    then cost w_max frames of HBM instead of the whole store.  Poses
-    always stay on device (tiny; selection and write-back use them).
+    ``device="device"`` (default): imagery lives in device HBM as
+    fp16/fp32 (fast path — the fused mapper reads it in place).
+
+    ``device="packed"`` (also what the reference's ``keyframe_device:
+    cpu``, /root/reference/configs/ESLAM.yaml:4, maps to): imagery lives
+    in device HBM in its QUANTIZED wire format (u8 color, u16 depth +
+    per-slot scale — half the bytes of the fp16/fp32 store, a quarter of
+    the reference's full-float GPU tensors) and the fused mapper
+    dequantizes the ~4k sampled pixels per iteration in-program.  This
+    is the TPU-native answer to the reference's motivation for host
+    keyframes: ScanNet scene0000's ~1.4k keyframes fit in ~2.1 GB.
+    ``depths`` is then the pytree ``(depths_u16, depth_inv_q)``.
+
+    ``device="host_staged"`` keeps imagery HOST-side and stages only the
+    selected BA window per mapped frame — the escape hatch for stores
+    that exceed HBM even packed; costs a selection round-trip + window
+    upload per mapped frame (PERF.md).  Poses always stay on device
+    (tiny; selection and write-back use them).
     """
 
     def __init__(self, capacity: int, cam: Camera, color_dtype=jnp.float16,
@@ -77,7 +89,9 @@ class KeyframeStore:
         self.cam = cam
         self.count = 0
         self.frame_ids: list[int] = []
-        self.host_mode = str(device).lower() in ("cpu", "host")
+        mode = str(device).lower()
+        self.host_mode = mode in ("host", "host_staged")
+        self.packed = mode in ("cpu", "packed")
         # Host-side record of whether each slot's depth map has holes —
         # lets the mapper statically skip the depth-less sampling branch.
         self.has_depthless: list[bool] = [False] * capacity
@@ -87,11 +101,22 @@ class KeyframeStore:
             self.colors_u8 = np.zeros((capacity, cam.H, cam.W, 3), np.uint8)
             self.depths_u16 = np.zeros((capacity, cam.H, cam.W), np.uint16)
             self.depth_inv_q = np.ones((capacity,), np.float32)
+        elif self.packed:
+            self.colors = jnp.zeros((capacity, cam.H, cam.W, 3), jnp.uint8)
+            self.depths = (jnp.zeros((capacity, cam.H, cam.W), jnp.uint16),
+                           jnp.ones((capacity,), jnp.float32))
         else:
             self.colors = jnp.zeros((capacity, cam.H, cam.W, 3), color_dtype)
             self.depths = jnp.zeros((capacity, cam.H, cam.W), jnp.float32)
         self.est_c2w = jnp.tile(jnp.eye(4), (capacity, 1, 1))
         self.gt_c2w = jnp.tile(jnp.eye(4), (capacity, 1, 1))
+
+    def depths_float(self):
+        """Depth maps as float32 (dequantized view for meshing/eval)."""
+        if self.packed:
+            u16, inv_q = self.depths
+            return _dequant_depths(u16, inv_q)
+        return self.depths
 
     # -- host-mode (keyframe_device: cpu) ---------------------------------
 
@@ -119,12 +144,23 @@ class KeyframeStore:
 
     def write_imagery(self, slot: int, color, depth) -> None:
         """In-place (donated) write of one slot's color+depth."""
+        if self.packed:
+            raise RuntimeError(
+                "packed store: use write_imagery_packed (u8/u16 wire)")
         self.colors = _write_slot_donated(self.colors, slot, color)
         self.depths = _write_slot_donated(self.depths, slot, depth)
 
     def write_imagery_packed(self, slot: int, color_u8, depth_u16,
                              depth_inv_q: float) -> None:
         """In-place write from a FramePacket's uint8/uint16 encoding."""
+        if self.packed:
+            u16, inv_q = self.depths
+            self.colors = _write_slot_donated(self.colors, slot,
+                                              jnp.asarray(color_u8))
+            self.depths = (
+                _write_slot_donated(u16, slot, jnp.asarray(depth_u16)),
+                inv_q.at[slot].set(jnp.float32(depth_inv_q)))
+            return
         self.colors = _write_color_u8(self.colors, slot, color_u8)
         self.depths = _write_depth_u16(
             self.depths, slot, depth_u16, jnp.float32(depth_inv_q))
@@ -151,7 +187,12 @@ class KeyframeStore:
         pos = self.count
         self.has_depthless[pos] = bool(has_depthless)
         self.colors = _copy_slot(self.colors, pos, src_slot)
-        self.depths = _copy_slot(self.depths, pos, src_slot)
+        if self.packed:
+            u16, inv_q = self.depths
+            self.depths = (_copy_slot(u16, pos, src_slot),
+                           inv_q.at[pos].set(inv_q[src_slot]))
+        else:
+            self.depths = _copy_slot(self.depths, pos, src_slot)
         self.est_c2w = _write_slot(self.est_c2w, pos, est_c2w)
         self.gt_c2w = _write_slot(self.gt_c2w, pos, gt_c2w)
         self.frame_ids.append(int(frame_id))

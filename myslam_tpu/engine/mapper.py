@@ -37,6 +37,14 @@ from myslam_tpu.render.renderer import (
 )
 
 
+def _cat_losses(losses, iters):
+    """Concatenate per-chunk loss vectors; iters=0 ran no chunks."""
+    if not losses:
+        return jnp.zeros((0,), jnp.float32)
+    out = losses[0] if len(losses) == 1 else jnp.concatenate(losses, 0)
+    return out[:iters]
+
+
 def make_row_sharder(opt_sharding, min_rows: int = 4096):
     """Constraint applied to atlas-shaped leaves ((rows, C), rows large)
     of gradient/optimizer pytrees: row-shard them over the DP mesh.
@@ -66,7 +74,7 @@ def make_row_sharder(opt_sharding, min_rows: int = 4096):
 
 def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
                 ray_sharding=None, importance: bool = True,
-                queries_factory=None):
+                queries_factory=None, packed: bool = False):
     """Shared mapping internals: the per-iteration loss and the
     multi-transform optimizer (reference LR groups, src/Mapper.py:291-306).
     Used by both make_mapper (bare BA step) and make_frame_mapper (the
@@ -150,8 +158,17 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
             kf_of_ray = jax.lax.with_sharding_constraint(
                 kf_of_ray, ray_sharding)
         flat = kf_of_ray * HW + j.astype(jnp.int32) * cam.W + i.astype(jnp.int32)
-        px_depth = kf_depths.reshape(-1)[flat]
-        px_color = kf_colors.reshape(-1, 3)[flat].astype(jnp.float32)
+        if packed:
+            # Quantized device store (u8 color, u16 depth + per-slot
+            # scale): dequantize only the sampled pixels, in-program.
+            kf_depths_u16, kf_inv_q = kf_depths
+            px_depth = (kf_depths_u16.reshape(-1)[flat].astype(jnp.float32)
+                        * kf_inv_q[kf_of_ray])
+            px_color = (kf_colors.reshape(-1, 3)[flat].astype(jnp.float32)
+                        * (1.0 / 255.0))
+        else:
+            px_depth = kf_depths.reshape(-1)[flat]
+            px_color = kf_colors.reshape(-1, 3)[flat].astype(jnp.float32)
 
         c2w_of_ray = c2ws[slot_of_ray]
         rays_o, rays_d = rays_from_uv(
@@ -326,9 +343,7 @@ def make_mapper(
                 kf_colors, kf_depths, key, jnp.int32(c * chunk_iters),
                 lr_scale, total, chunk=chunk_iters)
             losses.append(chunk_losses)
-        all_losses = (
-            losses[0] if len(losses) == 1
-            else jnp.concatenate(losses, axis=0))[:iters]
+        all_losses = _cat_losses(losses, iters)
         return params["map"], params["poses"], all_losses
 
     # Exposed for profiling / AOT tooling.
@@ -349,8 +364,17 @@ def make_frame_mapper(
     importance: bool = True,
     queries_factory=None,
     opt_sharding=None,
+    packed: bool = False,
 ):
     """The WHOLE mapped frame as one device program (per iteration chunk).
+
+    ``packed=True``: the keyframe imagery buffers are the quantized
+    device store (KeyframeStore ``device="packed"``): ``kf_colors`` is
+    uint8 and ``kf_depths`` is the pytree ``(depths_u16, inv_q (cap,))``;
+    scratch writes/admission copy raw wire bytes and the per-iteration
+    loss dequantizes only its sampled pixels.  Same program structure,
+    half the HBM — the TPU-native replacement for the reference's
+    ``keyframe_device: cpu`` host store (src/Mapper.py:429-432).
 
     Everything the scheduler used to dispatch separately per mapped frame
     — scratch-imagery dequantization, BA-window selection + pose assembly,
@@ -379,7 +403,7 @@ def make_frame_mapper(
     m = cfg["mapping"]
     loss_fn, optimizer = _build_core(
         cfg, scene, cam, ray_sharding=ray_sharding, importance=importance,
-        queries_factory=queries_factory)
+        queries_factory=queries_factory, packed=packed)
     opt_sharder = (make_row_sharder(opt_sharding)
                    if opt_sharding is not None else None)
 
@@ -389,14 +413,24 @@ def make_frame_mapper(
                   total, joint_opt, admit, chunk: int):
         def init_fn(op):
             params, opt_state, sel, kf_colors, kf_depths = op
-            kf_colors = kf_colors.at[scratch_slot].set(
-                (scr_color_u8.astype(jnp.float32) * (1.0 / 255.0)
-                 ).astype(kf_colors.dtype))
-            kf_depths = kf_depths.at[scratch_slot].set(
-                scr_depth_u16.astype(jnp.float32) * inv_q)
+            if packed:
+                kf_colors = kf_colors.at[scratch_slot].set(scr_color_u8)
+                d_u16, d_q = kf_depths
+                d_u16 = d_u16.at[scratch_slot].set(scr_depth_u16)
+                d_q = d_q.at[scratch_slot].set(inv_q)
+                kf_depths = (d_u16, d_q)
+                cur_depth = (d_u16[scratch_slot].astype(jnp.float32)
+                             * d_q[scratch_slot])
+            else:
+                kf_colors = kf_colors.at[scratch_slot].set(
+                    (scr_color_u8.astype(jnp.float32) * (1.0 / 255.0)
+                     ).astype(kf_colors.dtype))
+                kf_depths = kf_depths.at[scratch_slot].set(
+                    scr_depth_u16.astype(jnp.float32) * inv_q)
+                cur_depth = kf_depths[scratch_slot]
             cur_c2w = est_dev[idx]
             slot_kf, n_slots, pose_mask = selector(
-                kf_est, count, cur_c2w, kf_depths[scratch_slot],
+                kf_est, count, cur_c2w, cur_depth,
                 jax.random.fold_in(key, 0x7FFFFFFF), joint_opt)
             c2ws = kf_est[slot_kf]  # (w_max, 4, 4)
             is_cur = jnp.arange(w_max) == n_slots - 1
@@ -433,7 +467,12 @@ def make_frame_mapper(
         # admitting, dst == scratch: a harmless self-rewrite.
         dst = jnp.where(admit > 0, count, scratch_slot)
         kf_colors = kf_colors.at[dst].set(kf_colors[scratch_slot])
-        kf_depths = kf_depths.at[dst].set(kf_depths[scratch_slot])
+        if packed:
+            d_u16, d_q = kf_depths
+            kf_depths = (d_u16.at[dst].set(d_u16[scratch_slot]),
+                         d_q.at[dst].set(d_q[scratch_slot]))
+        else:
+            kf_depths = kf_depths.at[dst].set(kf_depths[scratch_slot])
         kf_est = kf_est.at[dst].set(est_dev[idx])
         kf_gt = kf_gt.at[dst].set(gt_c2w)
         return (params, opt_state, sel, est_dev, kf_est, kf_gt,
@@ -475,8 +514,7 @@ def make_frame_mapper(
                 # CURRENT map/poses and the resolved window selection.
                 on_chunk(params, sel, done,
                          min(done + chunk_iters, iters))
-        all_losses = (losses[0] if len(losses) == 1
-                      else jnp.concatenate(losses, axis=0))[:iters]
+        all_losses = _cat_losses(losses, iters)
         return (params["map"], opt_buf, est_dev, kf_est, kf_gt, kf_colors,
                 kf_depths, all_losses)
 
@@ -492,6 +530,7 @@ def make_window_frame_mapper(
     w_max: int,
     ray_sharding=None,
     importance: bool = True,
+    opt_sharding=None,
 ):
     """Fused mapped frame over a HOST-STAGED window (keyframe_device: cpu).
 
@@ -514,6 +553,8 @@ def make_window_frame_mapper(
     m = cfg["mapping"]
     loss_fn, optimizer = _build_core(
         cfg, scene, cam, ray_sharding=ray_sharding, importance=importance)
+    opt_sharder = (make_row_sharder(opt_sharding)
+                   if opt_sharding is not None else None)
     # numpy, not jnp: build-time device-array constants are fetched D2H
     # during MLIR lowering (see SceneGeometry.bound_array).
     import numpy as np
@@ -544,7 +585,7 @@ def make_window_frame_mapper(
         params, opt_state, losses = _scan_steps(
             loss_fn, optimizer, params, opt_state, pose_mask, win_slot_ids,
             n_slots, win_colors, win_depths, key, start, lr_scale, chunk,
-            total=total)
+            total=total, opt_sharder=opt_sharder)
 
         # Pose write-back (global slot ids) + pose-only admission; the
         # imagery admission happens host-side in the scheduler.
@@ -591,8 +632,7 @@ def make_window_frame_mapper(
             losses.append(chunk_losses)
             if on_chunk is not None:
                 on_chunk(params, sel, done, min(done + chunk_iters, iters))
-        all_losses = (losses[0] if len(losses) == 1
-                      else jnp.concatenate(losses, axis=0))[:iters]
+        all_losses = _cat_losses(losses, iters)
         return (params["map"], opt_buf, est_dev, kf_est, kf_gt, all_losses)
 
     window_map.jit_init = jit_init

@@ -231,18 +231,26 @@ class SLAMSystem:
             # the imagery buffers placed so each device holds only its
             # own keyframes (the multi-host analog: per-host frames).
             capacity = -(-capacity // self.kf_shards) * self.kf_shards
-        # keyframe_device: cpu (reference configs/ESLAM.yaml:4) — imagery
-        # stays host-side; only the BA window is staged per mapped frame.
+        # keyframe_device (reference configs/ESLAM.yaml:4): 'cpu' maps
+        # to the PACKED device store (u8/u16 quantized in HBM — the
+        # TPU-native answer to the reference's memory motivation; half
+        # the fp16/fp32 store's bytes, no per-frame staging, composes
+        # with every parallel mode).  'host_staged' keeps imagery truly
+        # host-side for stores that exceed HBM even packed (costs a
+        # selection round-trip + window upload per mapped frame).
         self.keyframe_device = str(
             cfg.get("keyframe_device", "device")).lower()
-        host_kf = self.keyframe_device in ("cpu", "host")
+        host_kf = self.keyframe_device in ("host", "host_staged")
         if host_kf and (self.kf_shards > 1 or self.map_shards > 1
                         or self.pipeline):
             raise ValueError(
-                "keyframe_device: cpu composes with ray DP only "
-                "(kf/map sharding and pipeline keep imagery on the mesh)")
+                "keyframe_device: host_staged composes with ray DP only; "
+                "use 'packed' (what 'cpu' maps to) with kf/map sharding "
+                "or pipeline — the quantized device store is the scaling "
+                "path there")
         self.store = KeyframeStore(
-            capacity, self.cam, device="cpu" if host_kf else "device")
+            capacity, self.cam,
+            device="host_staged" if host_kf else self.keyframe_device)
         self.scratch_slot = self.store.capacity - 1
         self.w_max = self.window_size + 2  # selected + last two + current
         if self.kf_shards > 1:
@@ -293,7 +301,8 @@ class SLAMSystem:
                 )
                 self._mappers[imp] = make_window_frame_mapper(
                     cfg, self.scene, self.cam, self.w_max,
-                    ray_sharding=self.ray_sharding, importance=imp)
+                    ray_sharding=self.ray_sharding, importance=imp,
+                    opt_sharding=self.opt_sharding)
             elif self.sharded_geom is not None:
                 from myslam_tpu.parallel.sharded_engine import (
                     make_sharded_frame_mapper,
@@ -301,7 +310,7 @@ class SLAMSystem:
                 self._mappers[imp] = make_sharded_frame_mapper(
                     cfg, self.scene, self.cam, self._select_window,
                     self.w_max, self.scratch_slot, self.sharded_geom,
-                    importance=imp)
+                    importance=imp, packed=self.store.packed)
             elif self.kf_shards > 1:
                 from myslam_tpu.parallel.distributed_ba import (
                     make_kf_frame_mapper,
@@ -310,13 +319,15 @@ class SLAMSystem:
                     cfg, self.scene, self.cam, self._select_window,
                     self.w_max, self.scratch_slot, self.mesh,
                     importance=imp,
-                    pose_solver=str(par.get("pose_solver", "adam")))
+                    pose_solver=str(par.get("pose_solver", "adam")),
+                    packed=self.store.packed)
             else:
                 self._mappers[imp] = make_frame_mapper(
                     cfg, self.scene, self.cam, self._select_window,
                     self.w_max, self.scratch_slot,
                     importance=imp, ray_sharding=self.ray_sharding,
-                    opt_sharding=self.opt_sharding)
+                    opt_sharding=self.opt_sharding,
+                    packed=self.store.packed)
         # Optimizer-state buffer reused (donated) across mapped frames;
         # values are overwritten by each frame's in-program init.
         self._opt_buf = None
@@ -367,6 +378,11 @@ class SLAMSystem:
         # excluded) for bench.py to report.
         from myslam_tpu.utils import compilelog
         compilelog.install()
+        # Records are process-global; discard any left by a previous
+        # SLAMSystem in this process (serial-vs-pipeline tests, bench
+        # followed by in-process tools) so they don't pollute this
+        # instance's metrics.jsonl and compile_secs.
+        compilelog.drain()
         self._compilelog = compilelog
         self.compile_secs = 0.0
         # Each flush costs one ~90 ms tunnel round-trip for the batched

@@ -72,7 +72,8 @@ def shard_keyframes(mesh: Mesh, kf_colors, kf_depths, axis: str = "kf"):
     return jax.device_put(kf_colors, sh), jax.device_put(kf_depths, sh)
 
 
-def make_local_ray_picker(cam, n_rays: int, kf_axis: str):
+def make_local_ray_picker(cam, n_rays: int, kf_axis: str,
+                          packed: bool = False):
     """Per-shard ray draw from the window slots this shard owns.
 
     Returns pick(slot_kf (W,), n_slots, kf_depths_l, kf_colors_l, key)
@@ -81,12 +82,15 @@ def make_local_ray_picker(cam, n_rays: int, kf_axis: str):
     lives on shard s // cap_local (contiguous slot sharding) — each
     shard's rays read only its local imagery; raw pixels never cross the
     interconnect (SURVEY §5.7 north star).
+
+    ``packed``: local buffers are the quantized store (u8 color;
+    depths = (u16, inv_q) pytree) — sampled pixels dequantize here.
     """
     HW = cam.H * cam.W
 
     def pick(slot_kf, n_slots, kf_colors_l, kf_depths_l, key):
         me = jax.lax.axis_index(kf_axis)
-        cap_l = kf_depths_l.shape[0]
+        cap_l = kf_colors_l.shape[0]
         W = slot_kf.shape[0]
         pos = jnp.arange(W)
         owned = ((slot_kf // cap_l) == me) & (pos < n_slots)
@@ -101,8 +105,15 @@ def make_local_ray_picker(cam, n_rays: int, kf_axis: str):
         j = jax.random.randint(kj, (n_rays,), 0, cam.H).astype(jnp.float32)
         flat = (local_slot * HW + j.astype(jnp.int32) * cam.W
                 + i.astype(jnp.int32))
-        px_depth = kf_depths_l.reshape(-1)[flat]
-        px_color = kf_colors_l.reshape(-1, 3)[flat].astype(jnp.float32)
+        if packed:
+            u16_l, invq_l = kf_depths_l
+            px_depth = (u16_l.reshape(-1)[flat].astype(jnp.float32)
+                        * invq_l[local_slot])
+            px_color = (kf_colors_l.reshape(-1, 3)[flat].astype(jnp.float32)
+                        * (1.0 / 255.0))
+        else:
+            px_depth = kf_depths_l.reshape(-1)[flat]
+            px_color = kf_colors_l.reshape(-1, 3)[flat].astype(jnp.float32)
         return p, i, j, px_depth, px_color, valid
 
     return pick
@@ -335,7 +346,8 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
                          scratch_slot: int, mesh: Mesh,
                          kf_axis: str = "kf", importance: bool = True,
                          pose_solver: str = "adam",
-                         lm_damping: float = 0.1):
+                         lm_damping: float = 0.1,
+                         packed: bool = False):
     """Keyframe-partitioned BA as the fused PRODUCT frame mapper.
 
     Same contract as engine/mapper.make_frame_mapper, with kf_colors /
@@ -406,7 +418,7 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
         },
         label_tree,
     )
-    pick_rays = make_local_ray_picker(cam, n_rays, kf_axis)
+    pick_rays = make_local_ray_picker(cam, n_rays, kf_axis, packed=packed)
 
     def dmean(x, mask):
         mk = mask.astype(x.dtype)
@@ -555,14 +567,24 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
                   kf_colors, kf_depths, scr_color_u8, scr_depth_u16,
                   inv_q, gt_c2w, idx, count, key, start, lr_scale,
                   joint_opt, admit, chunk: int):
-        scr_color = (scr_color_u8.astype(jnp.float32) * (1.0 / 255.0)
-                     ).astype(kf_colors.dtype)
         scr_depth = scr_depth_u16.astype(jnp.float32) * inv_q
+        if not packed:
+            scr_color = (scr_color_u8.astype(jnp.float32) * (1.0 / 255.0)
+                         ).astype(kf_colors.dtype)
+
+        def write_scr(kf_colors, kf_depths, dst):
+            if packed:
+                d_u16, d_q = kf_depths
+                return (kf_colors.at[dst].set(scr_color_u8),
+                        (d_u16.at[dst].set(scr_depth_u16),
+                         d_q.at[dst].set(inv_q)))
+            return (kf_colors.at[dst].set(scr_color),
+                    kf_depths.at[dst].set(scr_depth))
 
         def init_fn(op):
             params, opt_state, sel, kf_colors, kf_depths = op
-            kf_colors = kf_colors.at[scratch_slot].set(scr_color)
-            kf_depths = kf_depths.at[scratch_slot].set(scr_depth)
+            kf_colors, kf_depths = write_scr(kf_colors, kf_depths,
+                                             scratch_slot)
             cur_c2w = est_dev[idx]
             slot_kf, n_slots, pose_mask = selector(
                 kf_est, count, cur_c2w, scr_depth,
@@ -596,8 +618,7 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
             jnp.where(joint_opt > 0, cur, est_dev[idx]))
 
         dst = jnp.where(admit > 0, count, scratch_slot)
-        kf_colors = kf_colors.at[dst].set(scr_color)
-        kf_depths = kf_depths.at[dst].set(scr_depth)
+        kf_colors, kf_depths = write_scr(kf_colors, kf_depths, dst)
         kf_est = kf_est.at[dst].set(est_dev[idx])
         kf_gt = kf_gt.at[dst].set(gt_c2w)
         kf_colors = jax.lax.with_sharding_constraint(kf_colors, kf_sharding_)

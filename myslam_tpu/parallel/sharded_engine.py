@@ -142,16 +142,19 @@ class ShardedMapGeometry:
 
 def make_sharded_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
                               scratch_slot: int, smg: ShardedMapGeometry,
-                              importance: bool = True):
+                              importance: bool = True,
+                              packed: bool = False):
     """The fused frame mapper over a band-sharded map.
 
     Identical contract to engine/mapper.make_frame_mapper, with ``ms``
     and the returned map in BANDED layout (smg.shard / smg.unshard
     convert).  Supports the importance branch, so depth-hole datasets
-    (ScanNet/TUM) band-shard too.
+    (ScanNet/TUM) band-shard too, and the packed (u8/u16) keyframe
+    store, so ScanNet-scale sequences fit alongside the banded map.
     """
     from myslam_tpu.engine.mapper import make_frame_mapper
 
     return make_frame_mapper(
         cfg, scene, cam, selector, w_max, scratch_slot,
-        importance=importance, queries_factory=smg.queries_factory)
+        importance=importance, queries_factory=smg.queries_factory,
+        packed=packed)

@@ -31,10 +31,15 @@ def save_checkpoint(path: str, slam, idx: int) -> str:
     # quantization) so the fetch is ~130 MB instead of ~260 MB.
     n = store.count
     if getattr(store, "host_mode", False):
-        # keyframe_device: cpu — imagery is already quantized host-side
+        # keyframe_device: host_staged — imagery already quantized host-side
         colors_u8 = store.colors_u8[:n]
         depths_u16 = store.depths_u16[:n]
         inv_q = store.depth_inv_q[:n].astype(np.float32)
+    elif getattr(store, "packed", False):
+        # packed device store IS the checkpoint wire format already
+        colors_u8 = store.colors[:n]
+        depths_u16 = store.depths[0][:n]
+        inv_q = store.depths[1][:n]
     else:
         colors_u8 = jnp.clip(jnp.round(
             store.colors[:n].astype(jnp.float32) * 255.0), 0, 255
@@ -99,6 +104,18 @@ def load_checkpoint(path: str, slam) -> int:
             store.add_host(
                 int(data["keyframe_list"][k]), data["kf_colors_u8"][k],
                 data["kf_depths_u16"][k], float(inv_q[k]),
+                has_depthless=bool(data["kf_has_depthless"][k]))
+        store.est_c2w = store.est_c2w.at[:n].set(
+            jnp.asarray(data["kf_est_c2w"]))
+        store.gt_c2w = store.gt_c2w.at[:n].set(
+            jnp.asarray(data["kf_gt_c2w"]))
+    elif getattr(store, "packed", False):
+        for k in range(n):
+            store.write_imagery_packed(
+                store.count, data["kf_colors_u8"][k],
+                data["kf_depths_u16"][k], float(inv_q[k]))
+            store.note_admitted(
+                int(data["keyframe_list"][k]),
                 has_depthless=bool(data["kf_has_depthless"][k]))
         store.est_c2w = store.est_c2w.at[:n].set(
             jnp.asarray(data["kf_est_c2w"]))

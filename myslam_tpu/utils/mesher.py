@@ -113,7 +113,7 @@ def hull_points_device(store, cam, bound: np.ndarray, stride: int = 8,
     hi = bound[:, 1] + margin
     dims = tuple(int(np.ceil((hi[a] - lo[a]) / voxel)) for a in range(3))
     votes = _voxel_votes(
-        store.est_c2w, store.depths, jnp.int32(store.count),
+        store.est_c2w, store.depths_float(), jnp.int32(store.count),
         cam.fx, cam.fy, cam.cx, cam.cy, cam.H, cam.W, stride,
         jnp.asarray(lo, jnp.float32), jnp.float32(1.0 / voxel), dims)
     v = np.asarray(votes).reshape(dims)
@@ -150,7 +150,7 @@ def backproject_keyframes(store, cam, stride: int = 8) -> np.ndarray:
         cams = est[:, :3, 3]
         return np.concatenate([pts[d > 0], cams], axis=0)
     pts_all, d_all = _backproject_all(
-        store.est_c2w, store.depths, cam.fx, cam.fy, cam.cx, cam.cy,
+        store.est_c2w, store.depths_float(), cam.fx, cam.fy, cam.cx, cam.cy,
         cam.H, cam.W, stride)
     pts_np = np.asarray(pts_all)[:store.count]
     d_np = np.asarray(d_all)[:store.count]

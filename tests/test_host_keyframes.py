@@ -1,8 +1,13 @@
-"""keyframe_device: cpu — host-side keyframe store (VERDICT r1 item 6;
-reference configs/ESLAM.yaml:4).  The fused mapper's in-program window
-selection is replayed as its own program with the same key fold and the
-window imagery dequantizes identically, so the cpu-store run must
-reproduce the device-store trajectory draw-for-draw."""
+"""Keyframe store placement modes (reference configs/ESLAM.yaml:4).
+
+``keyframe_device: cpu`` maps to the PACKED device store (u8/u16
+quantized in HBM, dequantized per sampled pixel in-program) — the
+TPU-native answer to the reference's memory motivation.  The true
+host-side store survives as ``host_staged`` (window staged per mapped
+frame).  Both must reproduce the device-store trajectory: host_staged
+draw-for-draw (identical f16 window values), packed to color-quantization
+tolerance (u8 direct vs the f16 round-trip differs by ~5e-4 relative).
+"""
 
 import copy
 import os
@@ -26,41 +31,52 @@ def _cfg(n_frames=6):
     return cfg
 
 
-def test_host_store_matches_device_store(tmp_path):
+def _run(tmp_path, mode, extra=None):
     from myslam_tpu.engine.scheduler import SLAMSystem
 
-    runs = {}
-    for mode in ("device", "cpu"):
-        cfg = _cfg()
-        cfg["keyframe_device"] = mode
-        slam = SLAMSystem(cfg, output=str(tmp_path / mode), seed=0)
-        slam._extract_and_cull_mesh = lambda *a, **k: None
-        slam.run()
-        runs[mode] = slam
+    cfg = _cfg()
+    cfg["keyframe_device"] = mode
+    if extra:
+        from myslam_tpu.utils.config import update_recursive
+        update_recursive(cfg, extra)
+    slam = SLAMSystem(cfg, output=str(tmp_path / mode.replace("/", "_")),
+                      seed=0)
+    slam._extract_and_cull_mesh = lambda *a, **k: None
+    slam.run()
+    return slam
 
+
+def test_store_modes_match_device_store(tmp_path):
+    runs = {m: _run(tmp_path, m)
+            for m in ("device", "host_staged", "cpu")}
+
+    dev = runs["device"].estimates[:, :3, 3]
+    # host_staged: identical window values -> draw-for-draw parity
     d = np.linalg.norm(
-        runs["cpu"].estimates[:, :3, 3]
-        - runs["device"].estimates[:, :3, 3], axis=-1)
+        runs["host_staged"].estimates[:, :3, 3] - dev, axis=-1)
     assert d.max() < 1e-4, d
-    # keyframe poses agree too (window write-back path)
+    # packed ("cpu"): u8 color read directly instead of through f16 —
+    # same draws, color values differ at ~5e-4 relative
+    d = np.linalg.norm(runs["cpu"].estimates[:, :3, 3] - dev, axis=-1)
+    assert d.max() < 5e-3, d
+
     n = runs["device"].store.count
-    assert runs["cpu"].store.count == n
-    np.testing.assert_allclose(
-        np.asarray(runs["cpu"].store.est_c2w[:n]),
-        np.asarray(runs["device"].store.est_c2w[:n]), atol=1e-4)
+    for m in ("host_staged", "cpu"):
+        assert runs[m].store.count == n
+        np.testing.assert_allclose(
+            np.asarray(runs[m].store.est_c2w[:n]),
+            np.asarray(runs["device"].store.est_c2w[:n]), atol=5e-3)
 
 
 def test_host_store_checkpoint_roundtrip(tmp_path):
     from myslam_tpu.engine.scheduler import SLAMSystem
     from myslam_tpu.utils.logger import load_checkpoint, save_checkpoint
 
-    cfg = _cfg()
-    cfg["keyframe_device"] = "cpu"
-    slam = SLAMSystem(cfg, output=str(tmp_path / "a"), seed=0)
-    slam._extract_and_cull_mesh = lambda *a, **k: None
-    slam.run()
+    slam = _run(tmp_path / "a", "host_staged")
     path = save_checkpoint(str(tmp_path / "ck.npz"), slam, slam.n_img - 1)
 
+    cfg = _cfg()
+    cfg["keyframe_device"] = "host_staged"
     slam2 = SLAMSystem(cfg, output=str(tmp_path / "b"), seed=0)
     start = load_checkpoint(path, slam2)
     assert start == slam.n_img
@@ -73,17 +89,44 @@ def test_host_store_checkpoint_roundtrip(tmp_path):
                                np.asarray(slam.store.est_c2w), atol=1e-6)
 
 
+def test_packed_store_checkpoint_roundtrip(tmp_path):
+    from myslam_tpu.engine.scheduler import SLAMSystem
+    from myslam_tpu.utils.logger import load_checkpoint, save_checkpoint
+
+    slam = _run(tmp_path / "a", "cpu")
+    assert slam.store.packed
+    path = save_checkpoint(str(tmp_path / "ck.npz"), slam, slam.n_img - 1)
+
+    cfg = _cfg()
+    cfg["keyframe_device"] = "cpu"
+    slam2 = SLAMSystem(cfg, output=str(tmp_path / "b"), seed=0)
+    start = load_checkpoint(path, slam2)
+    assert start == slam.n_img
+    n = slam.store.count
+    assert slam2.store.count == n
+    np.testing.assert_array_equal(np.asarray(slam2.store.colors[:n]),
+                                  np.asarray(slam.store.colors[:n]))
+    np.testing.assert_array_equal(np.asarray(slam2.store.depths[0][:n]),
+                                  np.asarray(slam.store.depths[0][:n]))
+    np.testing.assert_allclose(np.asarray(slam2.store.depths[1][:n]),
+                               np.asarray(slam.store.depths[1][:n]),
+                               rtol=1e-6)
+
+
 def test_scannet_scale_hbm_budget():
     """ScanNet scene0000 scale (~5.6k frames -> ~1.4k full-res keyframes
-    at 480x640): device-resident imagery needs gigabytes of HBM; the cpu
-    store's device footprint is one w_max window — <2% of that."""
+    at 480x640): fp16/fp32 device imagery needs > 4 GB of HBM; the packed
+    store halves that to ~2.1 GB, and host_staged's device footprint is
+    one w_max window — <2% of the float store."""
     H, W = 480, 640
     n_kf = 1400
     w_max = 22  # mapping_window_size 20 + last two/current slots
     frame_bytes = H * W * 3 * 2 + H * W * 4     # f16 color + f32 depth
+    packed_bytes = H * W * 3 + H * W * 2        # u8 color + u16 depth
     device_mode = n_kf * frame_bytes
-    # cpu mode stages the window in WIRE format (u8 color + u16 depth)
-    window_bytes = w_max * (H * W * 3 + H * W * 2)
+    window_bytes = w_max * packed_bytes
     assert device_mode > 4e9          # the problem is real (> 4 GB)
+    assert n_kf * packed_bytes < 0.51 * device_mode
+    assert n_kf * packed_bytes < 2.2e9  # packed fits 16 GB HBM comfortably
     assert window_bytes < 0.02 * device_mode
     assert window_bytes < 40e6        # the staged window is tens of MB
