@@ -39,6 +39,12 @@ def main():
                         "(the metric is already printed either way)")
     parser.add_argument("--cold-threshold-s", type=float, default=90.0,
                         help="frame-0 wall above this means cold cache")
+    parser.add_argument("--exact", action="store_true",
+                        help="reference-exact math lane: color composited "
+                        "at every sample (color_topk 0, like the reference "
+                        "src/utils/Renderer.py:139-147) instead of the "
+                        "validated top-K approximation the synthetic "
+                        "config opts into")
     args = parser.parse_args()
 
     import os
@@ -51,6 +57,8 @@ def main():
         os.path.join(repo, "configs", "Synthetic", scene_cfg),
         os.path.join(repo, "configs", "myslam.yaml"))
     cfg["data"]["n_frames"] = args.frames
+    if args.exact:
+        cfg["rendering"]["color_topk"] = 0
 
     slam = SLAMSystem(cfg, output=args.output, seed=0)
     # Empty the device queue at the warmup boundary so the steady window
@@ -85,7 +93,10 @@ def main():
     do_mesh = args.mesh == "on" or (args.mesh == "auto" and not cold)
 
     print(json.dumps({
-        "metric": "synthetic_room_e2e_frames_per_s",
+        "metric": ("synthetic_room_e2e_frames_per_s_exact" if args.exact
+                   else "synthetic_room_e2e_frames_per_s"),
+        "math": ("reference-exact (color_topk 0)" if args.exact
+                 else "top-K color (validated approximation)"),
         "value": round(float(fps), 3),
         "unit": "frames/s",
         # REFERENCE_FPS is a paper-derived ESTIMATE (CUDA is unavailable

@@ -97,13 +97,16 @@ def make_batch_culler(H, W, fx, fy, cx, cy, truncation, eval_rec: bool):
     return jax.jit(seen_any, donate_argnums=(0,))
 
 
-def cull_mesh(mesh_file: str, cfg: dict, frames, out_file: str | None = None,
-              estimate_c2w_list: np.ndarray | None = None,
-              frames_per_program: int = 16) -> str:
-    """frames: iterable of (depth (H,W) np, c2w (4,4) np) per frame."""
+def vertex_visibility(verts: np.ndarray, cfg: dict, frames,
+                      estimate_c2w_list: np.ndarray | None = None,
+                      frames_per_program: int = 16) -> np.ndarray:
+    """(N,) bool: is each vertex seen by at least one frame (frustum +
+    eval_rec occlusion test)?  The core of cull_mesh, also used to derive
+    the GT 'unseen' point set for the 2-D depth-L1 protocol (the
+    reference ships *_pc_unseen.npy with its datasets, README.md:100-103;
+    for the synthetic scene we compute it from the trajectory)."""
     cam = cfg["cam"]
-    verts, faces, colors = read_ply(mesh_file)
-    verts_d = jnp.asarray(verts)
+    verts_d = jnp.asarray(np.asarray(verts, np.float32))
     seen_fn = make_batch_culler(
         cam["H"], cam["W"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
         cfg["model"]["truncation"], bool(cfg["meshing"]["eval_rec"]))
@@ -131,8 +134,16 @@ def cull_mesh(mesh_file: str, cfg: dict, frames, out_file: str | None = None,
             batch = []
     if batch:
         ever_seen = flush(batch)
+    return np.asarray(ever_seen)
 
-    ever = np.asarray(ever_seen)
+
+def cull_mesh(mesh_file: str, cfg: dict, frames, out_file: str | None = None,
+              estimate_c2w_list: np.ndarray | None = None,
+              frames_per_program: int = 16) -> str:
+    """frames: iterable of (depth (H,W) np, c2w (4,4) np) per frame."""
+    verts, faces, colors = read_ply(mesh_file)
+    ever = vertex_visibility(verts, cfg, frames, estimate_c2w_list,
+                             frames_per_program)
     keep_face = ever[faces].any(axis=1)  # drop faces with all-unseen verts
     faces = faces[keep_face]
 

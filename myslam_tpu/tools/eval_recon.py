@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
+import sys
 
 import numpy as np
 from scipy.spatial import cKDTree as KDTree
@@ -153,8 +155,21 @@ def calc_2d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
 
     rv, rf, _ = read_ply(rec_meshfile)
     gv, gf, _ = read_ply(gt_meshfile)
-    unseen_file = gt_meshfile.replace("_culled.ply", "_pc_unseen.npy")
-    pc_unseen = np.load(unseen_file) if os.path.exists(unseen_file) else None
+    unseen_file = re.sub(r"(_culled|_eval_rec)?\.ply$", "_pc_unseen.npy",
+                         gt_meshfile)
+    if os.path.exists(unseen_file):
+        pc_unseen = np.load(unseen_file)
+    else:
+        pc_unseen = None
+        # The reference rejection-samples views that would see the
+        # "unseen" GT point set (eval_recon.py:156-175; the .npy ships
+        # with its datasets, README.md:100-103).  Without it the
+        # sampling is UNRESTRICTED — a different protocol whose numbers
+        # are not comparable; say so loudly instead of degrading
+        # silently.
+        print(f"WARNING: {unseen_file} not found — 2-D views are "
+              "sampled UNRESTRICTED (protocol differs from the "
+              "reference's unseen-rejection sampling)", file=sys.stderr)
     if align:
         T = icp_p2p(rv, gv)
         rv = rv @ T[:3, :3].T + T[:3, 3]
@@ -162,13 +177,24 @@ def calc_2d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
     # pre-subdivide so triangles fit the rasterizer's pixel patch
     rv, rf = subdivide_to_edge(rv, rf, 0.03)
     gv, gf = subdivide_to_edge(gv, gf, 0.03)
-    rec_tris = rv[rf]
-    gt_tris = gv[gf]
     render = make_depth_rasterizer(H, W, fx, fy, cx, cy)
+    # Meshes upload once; each view's |gt - rec| mean accumulates ON
+    # DEVICE and the total is fetched once (per-view depth fetches
+    # would cost ~1 MB x 2000 through a remote-device link).
+    rec_dev = render.prep(rv[rf])
+    gt_dev = render.prep(gv[gf])
+    import jax.numpy as jnp
+
+    def view_err(w2c):
+        gt_z = render.render_dev(gt_dev, w2c)
+        rec_z = render.render_dev(rec_dev, w2c)
+        gt_z = jnp.where(jnp.isfinite(gt_z), gt_z, 0.0)
+        rec_z = jnp.where(jnp.isfinite(rec_z), rec_z, 0.0)
+        return jnp.mean(jnp.abs(gt_z - rec_z))
 
     ext, box2world = _get_cam_position(gv)
     up = np.array([0.0, 0.0, -1.0])
-    errors = []
+    err_sum = jnp.float32(0.0)
     for _ in range(n_imgs):
         for _attempt in range(100):
             o_box = rng.uniform(-0.5, 0.5, 3) * ext
@@ -178,11 +204,8 @@ def calc_2d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
             if pc_unseen is None or not _check_proj_sees(
                     pc_unseen, W, H, fx, fy, cx, cy, c2w):
                 break
-        w2c = np.linalg.inv(c2w)
-        gt_depth = render(gt_tris, w2c)
-        rec_depth = render(rec_tris, w2c)
-        errors.append(np.abs(gt_depth - rec_depth).mean())
-    return {"depth_l1_cm": float(np.mean(errors) * 100)}
+        err_sum = err_sum + view_err(np.linalg.inv(c2w))
+    return {"depth_l1_cm": float(err_sum) / n_imgs * 100}
 
 
 def main():

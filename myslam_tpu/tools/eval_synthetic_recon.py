@@ -30,10 +30,18 @@ def main():
     ap.add_argument("--resolution", type=float, default=0.01,
                     help="GT mesh resolution (m)")
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("-2d", "--metric_2d", action="store_true",
+                    help="also run the reference 2-D depth-L1 protocol "
+                    "(virtual views rejection-sampled against the "
+                    "trajectory-unseen GT point set)")
+    ap.add_argument("--n-views", type=int, default=1000,
+                    help="2-D protocol view count (reference: 1000)")
     args = ap.parse_args()
 
-    from myslam_tpu.tools.cull_mesh import cull_mesh
-    from myslam_tpu.tools.eval_recon import calc_3d_metric
+    import numpy as np
+
+    from myslam_tpu.tools.cull_mesh import cull_mesh, vertex_visibility
+    from myslam_tpu.tools.eval_recon import calc_2d_metric, calc_3d_metric
     from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
     from myslam_tpu.utils.datasets import Prefetcher, Synthetic, get_dataset
 
@@ -63,6 +71,23 @@ def main():
     gt_culled = cull_mesh(gt_path, cfg, frames(),
                           out_file=os.path.join(wd, "gt_eval_rec.ply"))
     result = calc_3d_metric(rec_culled, gt_culled)
+
+    if args.metric_2d:
+        # The reference ships *_pc_unseen.npy per scene (README.md:
+        # 100-103, consumed at eval_recon.py:156-175).  For the synthetic
+        # scene we DERIVE it: vertices of the full-resolution analytic GT
+        # mesh that no trajectory frame sees (frustum + occlusion — the
+        # same visibility the culling computes).
+        from myslam_tpu.utils.ply import read_ply
+
+        gv, _, _ = read_ply(gt_path)
+        seen = vertex_visibility(gv, cfg, frames())
+        pc_unseen = np.asarray(gv)[~seen]
+        unseen_path = os.path.join(wd, "gt_pc_unseen.npy")
+        np.save(unseen_path, pc_unseen)
+        result["unseen_points"] = int(len(pc_unseen))
+        result.update(calc_2d_metric(rec_culled, gt_culled,
+                                     n_imgs=args.n_views))
     print(json.dumps({"workdir": wd, **result}))
 
 

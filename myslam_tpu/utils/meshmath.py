@@ -133,21 +133,33 @@ def make_depth_rasterizer(H: int, W: int, fx, fy, cx, cy,
         return zbuf.at[pyi.reshape(-1), pxi.reshape(-1)].min(
             z_px.reshape(-1))
 
-    def render(tris: np.ndarray, w2c: np.ndarray) -> np.ndarray:
-        zbuf = jnp.full((H, W), jnp.inf)
+    def prep(tris: np.ndarray):
+        """Pad to a chunk multiple and upload ONCE (the per-view loop of
+        the 2-D metric renders the same meshes from 1000 views; a fresh
+        upload per view would dominate on a remote device)."""
         tris_d = np.asarray(tris, np.float32)
-        w2c_d = jnp.asarray(w2c, jnp.float32)
-        n = len(tris_d)
-        pad = (-n) % chunk
+        pad = (-len(tris_d)) % chunk
         if pad:
             tris_d = np.concatenate(
                 [tris_d, np.zeros((pad, 3, 3), np.float32)], axis=0)
-        for i in range(0, len(tris_d), chunk):
-            zbuf = raster_chunk(zbuf, jnp.asarray(tris_d[i:i + chunk]), w2c_d)
+        return jnp.asarray(tris_d)
+
+    def render_dev(tris_dev, w2c) -> jnp.ndarray:
+        """Device z-buffer (inf where empty) — no host fetch."""
+        zbuf = jnp.full((H, W), jnp.inf)
+        w2c_d = jnp.asarray(np.asarray(w2c, np.float32))
+        for i in range(0, tris_dev.shape[0], chunk):
+            zbuf = raster_chunk(zbuf, tris_dev[i:i + chunk], w2c_d)
+        return zbuf
+
+    def render(tris: np.ndarray, w2c: np.ndarray) -> np.ndarray:
+        zbuf = render_dev(prep(tris), w2c)
         out = np.array(zbuf)  # writable copy off-device
         out[~np.isfinite(out)] = 0.0
         return out
 
+    render.prep = prep
+    render.render_dev = render_dev
     return render
 
 
@@ -191,6 +203,20 @@ def oriented_bounds(points: np.ndarray):
     points = np.asarray(points, np.float64)
     hull = ConvexHull(points)
     hp = points[hull.vertices]
+    # The facet-orientation sweep is O(facets x hull edges): fine for
+    # room-shaped hulls (dozens of facets), quadratic blow-up on smooth
+    # dense surfaces where EVERY vertex is on the hull (a subdivided
+    # sphere hung here for minutes).  Cap the candidate hull size — the
+    # OBB of a uniformly subsampled hull is within a fraction of a
+    # percent for smooth shapes, and the consumer (the 2-D metric's
+    # camera sampling volume, reference eval_recon.py:117-124, already
+    # scaled by [0.3, 0.7, 0.7]) is tolerance-insensitive.
+    max_hull = 400
+    if len(hp) > max_hull:
+        sel = np.random.default_rng(0).choice(
+            len(hp), max_hull, replace=False)
+        hull = ConvexHull(hp[sel])
+        hp = hp[sel][hull.vertices]
     normals = hull.equations[:, :3]
     seen = set()
     best = None

@@ -175,3 +175,52 @@ def test_denoise_observed_points_rejects_outliers():
     assert out.min() >= -0.1
     assert any(np.all(out == cams[0], axis=-1))  # camera kept
     assert len(out) > 4500  # surface survives
+
+
+def test_depth_l1_2d_metric(tmp_path, capsys):
+    from myslam_tpu.tools.eval_recon import calc_2d_metric
+
+    v, f = sphere_mesh()
+    p1 = str(tmp_path / "rec.ply")
+    p2 = str(tmp_path / "gt.ply")
+    write_ply(p1, v, f)
+    write_ply(p2, v, f)
+    # identical meshes -> ~zero depth L1; no unseen file -> LOUD warning
+    r = calc_2d_metric(p1, p2, align=False, n_imgs=8)
+    assert r["depth_l1_cm"] < 0.5
+    assert "UNRESTRICTED" in capsys.readouterr().err
+
+    # unseen point set present (and far away, so no view is rejected):
+    # loads, no warning, same result shape
+    np.save(str(tmp_path / "gt_pc_unseen.npy"),
+            np.full((10, 3), 100.0, np.float32))
+    r2 = calc_2d_metric(p1, p2, align=False, n_imgs=8)
+    assert r2["depth_l1_cm"] < 0.5
+    assert "UNRESTRICTED" not in capsys.readouterr().err
+
+    # a reconstruction missing a hemisphere scores a real deficit
+    keep = (v[f][:, :, 2] < 0).all(axis=1)
+    p3 = str(tmp_path / "rec_half.ply")
+    write_ply(p3, v, f[keep])
+    r3 = calc_2d_metric(p3, p2, align=False, n_imgs=8)
+    assert r3["depth_l1_cm"] > 2.0
+
+
+def test_vertex_visibility_unseen_derivation(tmp_path):
+    """The pc_unseen derivation: vertices behind the camera are unseen,
+    vertices in front within depth+truncation are seen."""
+    from myslam_tpu.tools.cull_mesh import vertex_visibility
+
+    cfg = {"cam": {"H": 60, "W": 80, "fx": 50.0, "fy": 50.0,
+                   "cx": 39.5, "cy": 29.5},
+           "model": {"truncation": 0.06},
+           "meshing": {"eval_rec": True}}
+    # camera at origin looking along -z (SLAM convention)
+    c2w = np.eye(4, dtype=np.float32)
+    depth = np.full((60, 80), 2.0, np.float32)
+    verts = np.array([[0.0, 0.0, -1.5],    # in front, before depth: seen
+                      [0.0, 0.0, +1.5],    # behind camera: unseen
+                      [0.0, 0.0, -3.0]],   # beyond depth+trunc: occluded
+                     np.float32)
+    seen = vertex_visibility(verts, cfg, [(depth, c2w)])
+    assert seen.tolist() == [True, False, False]
