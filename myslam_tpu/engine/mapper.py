@@ -74,7 +74,8 @@ def make_row_sharder(opt_sharding, min_rows: int = 4096):
 
 def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
                 ray_sharding=None, importance: bool = True,
-                queries_factory=None, packed: bool = False):
+                queries_factory=None, packed: bool = False,
+                ray_axis: str | None = None, n_ray_shards: int = 1):
     """Shared mapping internals: the per-iteration loss and the
     multi-transform optimizer (reference LR groups, src/Mapper.py:291-306).
     Used by both make_mapper (bare BA step) and make_frame_mapper (the
@@ -126,6 +127,23 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
         def queries_factory(ms):
             return make_queries(ms, scene)
 
+    if ray_axis is not None:
+        # Explicit-collective ray DP (under shard_map): psum'd masked
+        # means give the EXACT global loss from per-shard partials.
+        # When the mesh size doesn't divide the ray budget, the draw is
+        # padded up to rays_per_shard * n_shards and the tail rays are
+        # masked out of every loss term (zero contribution).
+        rays_per_shard = -(-n_rays // n_ray_shards)
+        n_draw = rays_per_shard * n_ray_shards
+
+        def mean_fn(x, mask):
+            m = mask.astype(x.dtype)
+            s = jax.lax.psum(jnp.sum(x * m), ray_axis)
+            c = jax.lax.psum(jnp.sum(m), ray_axis)
+            return s / jnp.maximum(c, 1.0)
+    else:
+        from myslam_tpu.core.losses import masked_mean as mean_fn
+
     def loss_fn(params, pose_mask, slot_kf, n_slots, kf_colors, kf_depths, key):
         # slot_kf may arrive as a host numpy constant (the window
         # mapper's identity ids — kept numpy so it never becomes a
@@ -140,12 +158,28 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
         c2ws = cam_pose_to_matrix(poses)  # (W, 4, 4)
 
         k_px, k_render = jax.random.split(key)
-        slot_of_ray = jnp.arange(n_rays) % n_slots
+        n_drawn = n_rays if ray_axis is None else n_draw
+        slot_of_ray = jnp.arange(n_drawn) % n_slots
         kf_of_ray = slot_kf[slot_of_ray]
 
         ki, kj = jax.random.split(k_px)
-        i = jax.random.randint(ki, (n_rays,), 0, cam.W).astype(jnp.float32)
-        j = jax.random.randint(kj, (n_rays,), 0, cam.H).astype(jnp.float32)
+        i = jax.random.randint(ki, (n_drawn,), 0, cam.W).astype(jnp.float32)
+        j = jax.random.randint(kj, (n_drawn,), 0, cam.H).astype(jnp.float32)
+        pad_ok = None
+        if ray_axis is not None:
+            # Every shard draws the IDENTICAL full ray set (same key)
+            # and takes its contiguous slice — the union over shards is
+            # exactly the single-device draw (when the budget divides),
+            # so the psum'd losses and gradients match the one-chip run
+            # draw-for-draw.  Padded tail rays are masked below.
+            rl = rays_per_shard
+            s0 = jax.lax.axis_index(ray_axis) * rl
+            i = jax.lax.dynamic_slice(i, (s0,), (rl,))
+            j = jax.lax.dynamic_slice(j, (s0,), (rl,))
+            slot_of_ray = jax.lax.dynamic_slice(slot_of_ray, (s0,), (rl,))
+            kf_of_ray = slot_kf[slot_of_ray]
+            if n_draw != n_rays:
+                pad_ok = (s0 + jnp.arange(rl)) < n_rays
         if ray_sharding is not None:
             # Data-parallel scale-out: the ray batch is sharded over the
             # device mesh; the map/pose gradients stay replicated, so XLA
@@ -179,6 +213,8 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
             jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d), bound
         )
         inside = t_exit >= px_depth  # depth-0 rays pass (reference Mapper.py:328)
+        if pad_ok is not None:
+            inside = inside & pad_ok  # padded tail rays contribute zero
 
         # ``importance`` is statically off when the caller knows every pixel
         # in the window has valid depth (then the reference's depth-less
@@ -190,10 +226,13 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
         dmask = inside & (px_depth > 0)
 
         loss = sdf_losses(
-            sdf, z_vals, px_depth, dmask, scene.truncation, w_fs, w_center, w_tail
+            sdf, z_vals, px_depth, dmask, scene.truncation, w_fs,
+            w_center, w_tail, mean_fn=mean_fn
         )
-        loss = loss + w_color * color_loss(px_color, color, inside)
-        loss = loss + w_depth * depth_loss(px_depth, depth, dmask)
+        loss = loss + w_color * color_loss(px_color, color, inside,
+                                           mean_fn=mean_fn)
+        loss = loss + w_depth * depth_loss(px_depth, depth, dmask,
+                                           mean_fn=mean_fn)
         return loss
 
     return loss_fn, optimizer
@@ -201,7 +240,8 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
 
 def _scan_steps(loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
                 n_slots, kf_colors, kf_depths, key, start, lr_scale,
-                chunk: int, total=None, opt_sharder=None):
+                chunk: int, total=None, opt_sharder=None,
+                ray_axis: str | None = None):
     """``chunk`` optimization iterations as one lax.scan.
 
     ``total`` (traced) caps the GLOBAL iteration count: iterations with
@@ -219,6 +259,13 @@ def _scan_steps(loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
         loss, grads = jax.value_and_grad(loss_fn)(
             params, pose_mask, slot_kf, n_slots, kf_colors, kf_depths, k
         )
+        if ray_axis is not None:
+            # ONE collective per iteration: the per-shard partial
+            # gradients sum to the exact global gradient here.  (The
+            # with_sharding_constraint DP path lets the SPMD
+            # partitioner place the reductions instead — measured 12x
+            # this wire volume, tools/validate_scaling.py.)
+            grads = jax.lax.psum(grads, ray_axis)
         if opt_sharder is not None:
             # ZeRO-style: row-shard the atlas grads so the Adam moment
             # update runs 1/n per chip (reduce-scatter + all-gather
@@ -259,6 +306,8 @@ def make_mapper(
     importance: bool = True,
     queries_factory=None,
     opt_sharding=None,
+    dp_mesh=None,
+    dp_axis: str = "dp",
 ):
     """Build a jitted mapping step (bare BA: window described by caller).
 
@@ -275,9 +324,14 @@ def make_mapper(
       -> (ms, poses7, losses (iters,))
     """
     m = cfg["mapping"]
+    if dp_mesh is not None:
+        ray_sharding = None  # explicit collectives replace the constraint
+        opt_sharding = None
     loss_fn, optimizer = _build_core(
         cfg, scene, cam, ray_sharding=ray_sharding, importance=importance,
-        queries_factory=queries_factory)
+        queries_factory=queries_factory,
+        ray_axis=dp_axis if dp_mesh is not None else None,
+        n_ray_shards=dp_mesh.shape[dp_axis] if dp_mesh is not None else 1)
     opt_sharder = (make_row_sharder(opt_sharding)
                    if opt_sharding is not None else None)
 
@@ -295,10 +349,26 @@ def make_mapper(
         total: jnp.ndarray,
         chunk: int,
     ):
-        return _scan_steps(
-            loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
-            n_slots, kf_colors, kf_depths, key, start, lr_scale, chunk,
-            total=total, opt_sharder=opt_sharder)
+        if dp_mesh is None:
+            return _scan_steps(
+                loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
+                n_slots, kf_colors, kf_depths, key, start, lr_scale,
+                chunk, total=total, opt_sharder=opt_sharder)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def body(params, opt_state, pose_mask, slot_kf, n_slots,
+                 kf_colors, kf_depths, key, start, lr_scale, total):
+            return _scan_steps(
+                loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
+                n_slots, kf_colors, kf_depths, key, start, lr_scale,
+                chunk, total=total, ray_axis=dp_axis)
+
+        return shard_map(
+            body, mesh=dp_mesh, in_specs=(P(),) * 11,
+            out_specs=(P(), P(), P()), check_vma=False)(
+            params, opt_state, pose_mask, slot_kf, n_slots, kf_colors,
+            kf_depths, key, start, lr_scale, total)
 
     # The optimization is executed in bounded-duration device programs
     # (<= chunk_iters iterations each) with the Adam state carried across
@@ -365,8 +435,20 @@ def make_frame_mapper(
     queries_factory=None,
     opt_sharding=None,
     packed: bool = False,
+    dp_mesh=None,
+    dp_axis: str = "dp",
 ):
     """The WHOLE mapped frame as one device program (per iteration chunk).
+
+    ``dp_mesh``: explicit-collective ray DP — the iteration scan runs
+    under shard_map over this mesh with every shard drawing its slice of
+    the (identical) ray set, psum'd masked-mean losses, and ONE psum of
+    the gradient pytree per iteration.  Draw-for-draw identical to the
+    single-device run.  The alternative ``ray_sharding``
+    (with_sharding_constraint) path leaves collective placement to the
+    SPMD partitioner, which was measured to all-reduce each atlas
+    gradient ~3x (12x the wire volume — tools/validate_scaling.py);
+    prefer ``dp_mesh``.
 
     ``packed=True``: the keyframe imagery buffers are the quantized
     device store (KeyframeStore ``device="packed"``): ``kf_colors`` is
@@ -401,11 +483,40 @@ def make_frame_mapper(
     from myslam_tpu.core.quaternion import matrix_to_cam_pose
 
     m = cfg["mapping"]
+    if dp_mesh is not None:
+        ray_sharding = None  # explicit collectives replace the constraint
+        opt_sharding = None
     loss_fn, optimizer = _build_core(
         cfg, scene, cam, ray_sharding=ray_sharding, importance=importance,
-        queries_factory=queries_factory, packed=packed)
+        queries_factory=queries_factory, packed=packed,
+        ray_axis=dp_axis if dp_mesh is not None else None,
+        n_ray_shards=dp_mesh.shape[dp_axis] if dp_mesh is not None else 1)
     opt_sharder = (make_row_sharder(opt_sharding)
                    if opt_sharding is not None else None)
+
+    def scan_steps(params, opt_state, pose_mask, slot_kf, n_slots,
+                   kf_colors, kf_depths, key, start, lr_scale, total,
+                   chunk: int):
+        if dp_mesh is None:
+            return _scan_steps(
+                loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
+                n_slots, kf_colors, kf_depths, key, start, lr_scale,
+                chunk, total=total, opt_sharder=opt_sharder)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def body(params, opt_state, pose_mask, slot_kf, n_slots,
+                 kf_colors, kf_depths, key, start, lr_scale, total):
+            return _scan_steps(
+                loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
+                n_slots, kf_colors, kf_depths, key, start, lr_scale,
+                chunk, total=total, ray_axis=dp_axis)
+
+        return shard_map(
+            body, mesh=dp_mesh, in_specs=(P(),) * 11,
+            out_specs=(P(), P(), P()), check_vma=False)(
+            params, opt_state, pose_mask, slot_kf, n_slots, kf_colors,
+            kf_depths, key, start, lr_scale, total)
 
     def run_chunk(params, opt_state, sel, est_dev, kf_est, kf_gt,
                   kf_colors, kf_depths, scr_color_u8, scr_depth_u16,
@@ -446,10 +557,9 @@ def make_frame_mapper(
             (params, opt_state, sel, kf_colors, kf_depths))
         slot_kf, n_slots, pose_mask = sel
 
-        params, opt_state, losses = _scan_steps(
-            loss_fn, optimizer, params, opt_state, pose_mask, slot_kf,
-            n_slots, kf_colors, kf_depths, key, start, lr_scale, chunk,
-            total=total, opt_sharder=opt_sharder)
+        params, opt_state, losses = scan_steps(
+            params, opt_state, pose_mask, slot_kf, n_slots, kf_colors,
+            kf_depths, key, start, lr_scale, total, chunk)
 
         # Masked pose write-back (reference Mapper.py:352-364,425-426:
         # keyframe entries for optimized window slots; the trajectory only

@@ -198,19 +198,41 @@ class SLAMSystem:
                 self.ray_sharding = NamedSharding(self.mesh_M, P("dp"))
             self.mesh = self.mesh_M
         self.opt_sharding = None
+        self.dp_mesh = None  # explicit-collective (shard_map) ray DP
+        # parallel.dp_impl: "shardmap" (default) runs the mapping scan
+        # under shard_map with ONE psum of the gradient pytree per
+        # iteration — the wire volume the scaling model assumes
+        # (tools/validate_scaling.py: ratio 1.00).  "spmd" is the
+        # with_sharding_constraint path, kept for comparison: the SPMD
+        # partitioner reduces each partial scatter-gradient separately
+        # (measured ~12x the wire volume).
+        self.dp_impl = str(par.get("dp_impl", "shardmap")).lower()
+        if self.pipeline and self.dp_impl == "shardmap" \
+                and self.ray_sharding is not None:
+            # pipeline's map-submesh ray DP: same explicit-collective scan
+            self.dp_mesh = self.mesh_M
         if n_dev > 1:
             from myslam_tpu.parallel.mesh import make_mesh, ray_dp_sharding
             self.mesh = make_mesh(n_dev)
-            self.ray_sharding = ray_dp_sharding(self.mesh)
-            if bool(par.get("zero_opt", True)):
-                # ZeRO-style optimizer partitioning (see
-                # mapper.make_row_sharder): the dense Adam atlas update
-                # is the one part of a mapping iteration that stays
-                # replicated under plain ray DP; row-sharding the
-                # moments makes it divide by n so it stays negligible
-                # at any atlas scale.  Mathematically identical.
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                self.opt_sharding = NamedSharding(self.mesh, P("dp", None))
+            if self.dp_impl == "shardmap":
+                self.dp_mesh = self.mesh
+                # Tracking (and the host_staged window mapper) keep the
+                # constraint-based sharding: their collectives are a
+                # 7-float pose gradient, where partitioner placement is
+                # already minimal.
+                self.ray_sharding = ray_dp_sharding(self.mesh)
+            else:
+                self.ray_sharding = ray_dp_sharding(self.mesh)
+                if bool(par.get("zero_opt", True)):
+                    # ZeRO-style optimizer partitioning (see
+                    # mapper.make_row_sharder): row-shards the Adam
+                    # moments under the spmd impl.  (The dense Adam
+                    # update measures 0.14 ms/iter replicated — under
+                    # shardmap it stays replicated and negligible.)
+                    from jax.sharding import NamedSharding, \
+                        PartitionSpec as P
+                    self.opt_sharding = NamedSharding(
+                        self.mesh, P("dp", None))
         if self.map_shards > 1:
             from jax.sharding import Mesh
             from myslam_tpu.parallel.sharded_engine import ShardedMapGeometry
@@ -327,7 +349,7 @@ class SLAMSystem:
                     self.w_max, self.scratch_slot,
                     importance=imp, ray_sharding=self.ray_sharding,
                     opt_sharding=self.opt_sharding,
-                    packed=self.store.packed)
+                    packed=self.store.packed, dp_mesh=self.dp_mesh)
         # Optimizer-state buffer reused (donated) across mapped frames;
         # values are overwritten by each frame's in-program init.
         self._opt_buf = None

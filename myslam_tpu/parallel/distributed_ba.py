@@ -122,7 +122,8 @@ def make_local_ray_picker(cam, n_rays: int, kf_axis: str,
 def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
                         kf_axis: str = "kf", iters: int | None = None,
                         pose_solver: str = "schur",
-                        lm_damping: float = 0.1):
+                        lm_damping: float = 0.1,
+                        schur_interval: int = 1):
     """Build ba_step(ms, poses7 (W,7), pose_mask (W,), slot_kf (W,),
     n_slots, kf_colors_sharded, kf_depths_sharded, key)
       -> (ms, poses7, losses (iters,)).
@@ -293,13 +294,25 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
                 # Pose solve FIRST: the first-order map step would
                 # otherwise start absorbing the pose error (gauge
                 # coupling) before the reduced system corrects it.
-                H, g = pose_system(ms, poses, p, i, j, px_depth, px_color,
-                                   z_vals, valid)
-                damp = lm_damping * jnp.maximum(
-                    jnp.trace(H, axis1=1, axis2=2)[:, None] / 7.0, 1e-6)
-                Hd = H + damp[..., None] * jnp.eye(7)
-                delta = -jnp.linalg.solve(Hd, g[..., None])[..., 0]
-                poses = poses + delta * pose_mask[:, None]
+                def solve(poses):
+                    H, g = pose_system(ms, poses, p, i, j, px_depth,
+                                       px_color, z_vals, valid)
+                    damp = lm_damping * jnp.maximum(
+                        jnp.trace(H, axis1=1, axis2=2)[:, None] / 7.0,
+                        1e-6)
+                    Hd = H + damp[..., None] * jnp.eye(7)
+                    delta = -jnp.linalg.solve(Hd, g[..., None])[..., 0]
+                    return poses + delta * pose_mask[:, None]
+
+                if schur_interval > 1:
+                    # Amortized GN: poses move slowly vs the map, so the
+                    # (1.26x-per-iteration) reduced solve can run every
+                    # k-th iteration (tools/bench_pose_solver --interval).
+                    poses = jax.lax.cond(
+                        it % schur_interval == 0, solve,
+                        lambda p: p, poses)
+                else:
+                    poses = solve(poses)
                 loss, grads = jax.value_and_grad(map_loss)(
                     ms, jax.lax.stop_gradient(poses), pose_mask, p, i, j,
                     px_depth, px_color, z_vals, valid)
@@ -347,7 +360,8 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
                          kf_axis: str = "kf", importance: bool = True,
                          pose_solver: str = "adam",
                          lm_damping: float = 0.1,
-                         packed: bool = False):
+                         packed: bool = False,
+                         schur_interval: int = 1):
     """Keyframe-partitioned BA as the fused PRODUCT frame mapper.
 
     Same contract as engine/mapper.make_frame_mapper, with kf_colors /
@@ -524,16 +538,25 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
                 if pose_solver == "schur":
                     # Pose solve FIRST (gauge coupling: the first-order
                     # map step would absorb pose error otherwise).
-                    H, g = pose_system(
-                        params["map"], params["poses"], pose_mask, p, i, j,
-                        px_depth, px_color, valid, k_z)
-                    damp = lm_damping * jnp.maximum(
-                        jnp.trace(H, axis1=1, axis2=2)[:, None] / 7.0, 1e-6)
-                    Hd = H + damp[..., None] * jnp.eye(7)
-                    delta = -jnp.linalg.solve(Hd, g[..., None])[..., 0]
+                    def solve(poses):
+                        H, g = pose_system(
+                            params["map"], poses, pose_mask, p, i, j,
+                            px_depth, px_color, valid, k_z)
+                        damp = lm_damping * jnp.maximum(
+                            jnp.trace(H, axis1=1, axis2=2)[:, None] / 7.0,
+                            1e-6)
+                        Hd = H + damp[..., None] * jnp.eye(7)
+                        delta = -jnp.linalg.solve(
+                            Hd, g[..., None])[..., 0]
+                        return poses + delta * pose_mask[:, None]
+
                     params = dict(params)
-                    params["poses"] = (params["poses"]
-                                       + delta * pose_mask[:, None])
+                    if schur_interval > 1:
+                        params["poses"] = jax.lax.cond(
+                            it % schur_interval == 0, solve,
+                            lambda p: p, params["poses"])
+                    else:
+                        params["poses"] = solve(params["poses"])
 
                 loss, grads = jax.value_and_grad(loss_fn)(
                     params, pose_mask, p, i, j, px_depth, px_color, valid,

@@ -119,9 +119,13 @@ def main():
 
     out = {"budget_s": args.budget_s, "chunk": args.chunk,
            "err_initial_m": t_err(poses_pert), "solvers": {}}
-    for solver in ("adam", "schur"):
-        ba = make_distributed_ba(cfg, scene, cam, mesh, iters=args.chunk,
-                                 pose_solver=solver)
+    for solver in ("adam", "schur", "schur@4"):
+        interval = 1
+        if "@" in solver:
+            interval = int(solver.split("@")[1])
+        ba = make_distributed_ba(
+            cfg, scene, cam, mesh, iters=args.chunk,
+            pose_solver=solver.split("@")[0], schur_interval=interval)
         ms = jax.tree_util.tree_map(jnp.copy, ms_base)
         poses = jnp.asarray(poses_pert)
         # warm-up compile (not billed)
@@ -154,10 +158,9 @@ def main():
               f"err {out['solvers'][solver]['err_final_m']} m "
               f"(from {out['err_initial_m']:.4f})", flush=True)
 
-    a = out["solvers"]["adam"]["err_final_m"]
-    s = out["solvers"]["schur"]["err_final_m"]
-    out["winner_at_equal_wall"] = (
-        "schur" if (s is not None and a is not None and s < a) else "adam")
+    errs = {k: v["err_final_m"] for k, v in out["solvers"].items()
+            if v["err_final_m"] is not None}
+    out["winner_at_equal_wall"] = min(errs, key=errs.get) if errs else None
     print("winner at equal wall:", out["winner_at_equal_wall"])
     if args.json:
         with open(args.json, "w") as f:

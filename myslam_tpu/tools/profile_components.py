@@ -111,22 +111,26 @@ def main():
     jax.block_until_ready(kf_depths)
     n_it = args.iters
 
-    def timed_scan(body):
-        """Time body(it)->scalar as one n_it-iteration in-program scan."""
+    def timed_scan(body, *arrays):
+        """Time body(it, *arrays)->scalar as one n_it-iteration
+        in-program scan.  Every device buffer the body reads MUST ride
+        in ``arrays`` — a closed-over jax.Array becomes a lowering-time
+        constant (fetched D2H and embedded in the compile payload; a
+        160 MB capture blew the remote-compile request limit)."""
         @jax.jit
-        def scan():
+        def scan(*arrays):
             def step(acc, it):
-                return acc + body(it), ()
+                return acc + body(it, *arrays), ()
             acc, _ = jax.lax.scan(step, jnp.float32(0.0),
                                   jnp.arange(n_it))
             return acc
 
-        out = scan()
+        out = scan(*arrays)
         barrier(out)
         best = np.inf
         for _ in range(3):
             t0 = time.time()
-            out = scan()
+            out = scan(*arrays)
             barrier(out)
             best = min(best, (time.time() - t0) / n_it * 1e3)
         return best
@@ -135,7 +139,7 @@ def main():
         return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(tree))
 
     # The iteration's actual geometry stage (matches _build_core's loss).
-    def raygen(it):
+    def raygen(it, kf_colors, kf_depths, poses):
         k = jax.random.fold_in(key, it)
         k_px, k_render = jax.random.split(k)
         slot_of_ray = jnp.arange(n_rays) % W
@@ -150,9 +154,8 @@ def main():
         c2w_of_ray = cam_pose_to_matrix(poses)[slot_of_ray]
         rays_o, rays_d = rays_from_uv(i, j, c2w_of_ray, cam.fx, cam.fy,
                                       cam.cx, cam.cy)
-        q = make_queries(ms, scene)
         z_vals = build_z_vals_core(k_render, scene, rays_o, rays_d,
-                                   px_depth, False, q)
+                                   px_depth, False, None)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         p_nor = normalize_3d_coordinate(pts.reshape(-1, 3),
                                         scene.bound_array)
@@ -163,46 +166,55 @@ def main():
     report = {"n_rays": n_rays, "n_samples": scene.n_samples,
               "color_topk": topk, "iters": n_it}
 
+    def emit(name, val):
+        report[name] = round(float(val), 3)
+        print(f"{name}: {report[name]}", flush=True)
+
     # 1) full loss+grad (the real per-iteration cost)
     loss_fn, _ = _build_core(cfg, scene, cam, importance=False)
     params = {"map": ms, "poses": poses}
 
-    def full_grad(it):
+    def full_grad(it, params, kf_colors, kf_depths):
         k = jax.random.fold_in(key, it)
         loss, g = jax.value_and_grad(loss_fn)(
             params, pose_mask, slot_kf, jnp.int32(W),
             kf_colors, kf_depths, k)
         return loss + consume(g)
 
-    report["full_grad_ms"] = timed_scan(full_grad)
+    emit("full_grad_ms",
+         timed_scan(full_grad, params, kf_colors, kf_depths))
 
     # 2) forward only
-    def forward(it):
+    def forward(it, params, kf_colors, kf_depths):
         k = jax.random.fold_in(key, it)
         return loss_fn(params, pose_mask, slot_kf, jnp.int32(W),
                        kf_colors, kf_depths, k)
 
-    report["forward_ms"] = timed_scan(forward)
+    emit("forward_ms",
+         timed_scan(forward, params, kf_colors, kf_depths))
 
     # 3) ray generation + z-vals + points + pixel reads
-    def raygen_only(it):
-        p_nor, z_vals, px_depth, px_color, inside, _ = raygen(it)
+    def raygen_only(it, kf_colors, kf_depths, poses):
+        p_nor, z_vals, px_depth, px_color, inside, _ = raygen(
+            it, kf_colors, kf_depths, poses)
         return (jnp.sum(p_nor) + jnp.sum(z_vals) + jnp.sum(px_depth)
                 + jnp.sum(px_color) + jnp.sum(inside))
 
-    report["raygen_ms"] = timed_scan(raygen_only)
+    emit("raygen_ms", timed_scan(raygen_only, kf_colors, kf_depths, poses))
 
     # 4) SDF field (gather + bilinear-folded decode) at the real points
-    def sdf_field(it):
-        p_nor = raygen(it)[0]
+    def sdf_field(it, ms, kf_colors, kf_depths, poses):
+        p_nor = raygen(it, kf_colors, kf_depths, poses)[0]
         q = make_queries(ms, scene)
         return jnp.sum(q.sdf(p_nor))
 
-    report["sdf_field_ms"] = timed_scan(sdf_field)
+    emit("sdf_field_ms",
+         timed_scan(sdf_field, ms, kf_colors, kf_depths, poses))
 
     # 5) + color field exactly as the renderer composites it
-    def sdf_rgb_field(it):
-        p_nor, z_vals, _, _, _, pts = raygen(it)
+    def sdf_rgb_field(it, ms, kf_colors, kf_depths, poses):
+        p_nor, z_vals, _, _, _, pts = raygen(
+            it, kf_colors, kf_depths, poses)
         q = make_queries(ms, scene)
         sdf = q.sdf(p_nor).reshape(z_vals.shape)
         alpha = sdf2alpha(sdf, q.beta)
@@ -217,7 +229,8 @@ def main():
             depth, color, _ = composite(alpha, z_vals, rgb)
         return jnp.sum(depth) + jnp.sum(color) + jnp.sum(sdf)
 
-    report["sdf_rgb_composite_ms"] = timed_scan(sdf_rgb_field)
+    emit("sdf_rgb_composite_ms",
+         timed_scan(sdf_rgb_field, ms, kf_colors, kf_depths, poses))
 
     # 6) decoder MLPs alone on pre-gathered corner features
     from myslam_tpu.models.decoders import (
@@ -236,14 +249,14 @@ def main():
     rgb_corners = sample_fused(color_quad, scene.color_layout, p_fix)
     jax.block_until_ready(rgb_corners)
 
-    def mlp_only(it):
+    def mlp_only(it, ms, sdf_corners, rgb_corners):
         s = decode_sdf_corners(ms.decoder, sdf_corners,
                                _row_map(scene.sdf_layout))
         c = decode_rgb_corners(ms.decoder, rgb_corners,
                                _row_map(scene.color_layout))
         return jnp.sum(s) + jnp.sum(c) + 0.0 * it
 
-    report["mlp_only_ms"] = timed_scan(mlp_only)
+    emit("mlp_only_ms", timed_scan(mlp_only, ms, sdf_corners, rgb_corners))
 
     # 7) compositing + losses on FIXED fields (no gather, no MLP)
     sdf_fix = jnp.asarray(
@@ -256,7 +269,8 @@ def main():
     c_fix = jnp.full((n_rays, 3), 0.5, jnp.float32)
     mask_fix = jnp.ones((n_rays,), bool)
 
-    def composite_loss(it):
+    def composite_loss(it, sdf_fix, rgb_fix, z_fix, d_fix, c_fix,
+                       mask_fix):
         alpha = sdf2alpha(sdf_fix + 0.0 * it, jnp.float32(10.0))
         depth, color, _ = composite(alpha, z_fix, rgb_fix)
         loss = sdf_losses(sdf_fix, z_fix, d_fix, mask_fix,
@@ -265,7 +279,9 @@ def main():
         loss = loss + w_depth * depth_loss(d_fix, depth, mask_fix)
         return loss
 
-    report["composite_loss_ms"] = timed_scan(composite_loss)
+    emit("composite_loss_ms",
+         timed_scan(composite_loss, sdf_fix, rgb_fix, z_fix, d_fix,
+                    c_fix, mask_fix))
 
     report["backward_ms"] = round(
         report["full_grad_ms"] - report["forward_ms"], 3)

@@ -59,9 +59,14 @@ def collective_bytes(hlo_text: str) -> dict:
     return out
 
 
-def compiled_collectives(cfg, n: int, zero_opt: bool) -> dict:
+def compiled_collectives(cfg, n: int, zero_opt: bool,
+                         impl: str = "spmd") -> dict:
     """Compile ONE real mapping iteration for an n-device mesh (abstract
-    args — nothing executes) and return its collective byte counts."""
+    args — nothing executes) and return its collective byte counts.
+
+    ``impl``: "spmd" = with_sharding_constraint ray DP (partitioner
+    places the collectives); "shardmap" = explicit-collective DP (one
+    psum of the gradient pytree per iteration)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -88,10 +93,14 @@ def compiled_collectives(cfg, n: int, zero_opt: bool) -> dict:
         color_topk=int(r.get("color_topk", 0)))
 
     mesh = Mesh(np.array(jax.devices()[:n]), ("dp",))
-    sharding = NamedSharding(mesh, P("dp"))
-    opt_sharding = NamedSharding(mesh, P("dp", None)) if zero_opt else None
-    mapper = make_mapper(cfg, scene, cam, ray_sharding=sharding,
-                         opt_sharding=opt_sharding)
+    if impl == "shardmap":
+        mapper = make_mapper(cfg, scene, cam, dp_mesh=mesh)
+    else:
+        sharding = NamedSharding(mesh, P("dp"))
+        opt_sharding = (NamedSharding(mesh, P("dp", None))
+                        if zero_opt else None)
+        mapper = make_mapper(cfg, scene, cam, ray_sharding=sharding,
+                             opt_sharding=opt_sharding)
 
     key = jax.random.PRNGKey(0)
     ms = init_map_state(key, sdf_layout, color_layout,
@@ -118,9 +127,9 @@ def compiled_collectives(cfg, n: int, zero_opt: bool) -> dict:
 def run(cfg, devices, model_bytes):
     rows = []
     for n in devices:
-        for zero_opt in (False, True):
-            cb = collective_bytes_safe = compiled_collectives(
-                cfg, n, zero_opt)
+        for impl, zero_opt in (("spmd", False), ("spmd", True),
+                               ("shardmap", False)):
+            cb = compiled_collectives(cfg, n, zero_opt, impl=impl)
             ring = 2.0 * (n - 1) / n
             # all-reduce moves the ring volume of its payload; ZeRO's
             # reduce-scatter + all-gather each move half of that same
@@ -130,7 +139,7 @@ def run(cfg, devices, model_bytes):
                        + cb.get("all-gather", 0)) * ring / 2.0
                     + cb.get("collective-permute", 0))
             rows.append({
-                "n": n, "zero_opt": zero_opt,
+                "n": n, "impl": impl, "zero_opt": zero_opt,
                 "hlo_bytes": cb,
                 "wire_bytes_per_iter": int(wire),
                 "model_wire_bytes": int(model_bytes * ring),
