@@ -30,6 +30,7 @@ from myslam_tpu.core.losses import color_loss, depth_loss, sdf_losses
 from myslam_tpu.core.quaternion import cam_pose_to_matrix
 from myslam_tpu.engine.camera import Camera
 from myslam_tpu.models.planes import MapState
+from myslam_tpu.ops.pixel_gather import gather_rgb, gather_scalar
 from myslam_tpu.render.renderer import (
     SceneGeometry,
     make_queries,
@@ -191,18 +192,17 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
                 slot_of_ray, ray_sharding)
             kf_of_ray = jax.lax.with_sharding_constraint(
                 kf_of_ray, ray_sharding)
-        flat = kf_of_ray * HW + j.astype(jnp.int32) * cam.W + i.astype(jnp.int32)
+        flat = (kf_of_ray * HW + j.astype(jnp.int32) * cam.W
+                + i.astype(jnp.int32))
         if packed:
-            # Quantized device store (u8 color, u16 depth + per-slot
-            # scale): dequantize only the sampled pixels, in-program.
             kf_depths_u16, kf_inv_q = kf_depths
-            px_depth = (kf_depths_u16.reshape(-1)[flat].astype(jnp.float32)
-                        * kf_inv_q[kf_of_ray])
-            px_color = (kf_colors.reshape(-1, 3)[flat].astype(jnp.float32)
-                        * (1.0 / 255.0))
+            px_depth = (gather_scalar(kf_depths_u16, flat)
+                        .astype(jnp.float32) * kf_inv_q[kf_of_ray])
+            px_color = (gather_rgb(kf_colors, flat)
+                        .astype(jnp.float32) * (1.0 / 255.0))
         else:
-            px_depth = kf_depths.reshape(-1)[flat]
-            px_color = kf_colors.reshape(-1, 3)[flat].astype(jnp.float32)
+            px_depth = gather_scalar(kf_depths, flat)
+            px_color = gather_rgb(kf_colors, flat).astype(jnp.float32)
 
         c2w_of_ray = c2ws[slot_of_ray]
         rays_o, rays_d = rays_from_uv(

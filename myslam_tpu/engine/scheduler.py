@@ -248,11 +248,20 @@ class SLAMSystem:
             list(range(0, self.n_img, self.every_frame)) + [self.n_img - 1]))
         n_keyframes = sum(1 for i in mapped if i % self.keyframe_every == 0)
         capacity = n_keyframes + 2
+        # Row-aligned pixel gathers (ops/pixel_gather.py) need the
+        # flattened imagery length divisible by the 128-lane row; pad
+        # capacity to the smallest multiple that makes it so (1 for all
+        # standard camera sizes; e.g. 8 for ScanNet's 468x620 crop).
+        import math
+        row_pad = 128 // math.gcd(self.cam.H * self.cam.W, 128)
+        pad_to = row_pad
         if self.kf_shards > 1:
-            # Slot axis sharded P('kf'): capacity padded to the mesh, and
-            # the imagery buffers placed so each device holds only its
-            # own keyframes (the multi-host analog: per-host frames).
-            capacity = -(-capacity // self.kf_shards) * self.kf_shards
+            # Slot axis sharded P('kf'): capacity also padded to the
+            # mesh, and the imagery buffers placed so each device holds
+            # only its own keyframes (multi-host analog: per-host frames).
+            pad_to = self.kf_shards * row_pad // math.gcd(
+                self.kf_shards, row_pad)
+        capacity = -(-capacity // pad_to) * pad_to
         # keyframe_device (reference configs/ESLAM.yaml:4): 'cpu' maps
         # to the PACKED device store (u8/u16 quantized in HBM — the
         # TPU-native answer to the reference's memory motivation; half

@@ -105,15 +105,17 @@ def make_local_ray_picker(cam, n_rays: int, kf_axis: str,
         j = jax.random.randint(kj, (n_rays,), 0, cam.H).astype(jnp.float32)
         flat = (local_slot * HW + j.astype(jnp.int32) * cam.W
                 + i.astype(jnp.int32))
+        # row-aligned gathers: the TPU fast path (ops/pixel_gather.py)
+        from myslam_tpu.ops.pixel_gather import gather_rgb, gather_scalar
         if packed:
             u16_l, invq_l = kf_depths_l
-            px_depth = (u16_l.reshape(-1)[flat].astype(jnp.float32)
+            px_depth = (gather_scalar(u16_l, flat).astype(jnp.float32)
                         * invq_l[local_slot])
-            px_color = (kf_colors_l.reshape(-1, 3)[flat].astype(jnp.float32)
+            px_color = (gather_rgb(kf_colors_l, flat).astype(jnp.float32)
                         * (1.0 / 255.0))
         else:
-            px_depth = kf_depths_l.reshape(-1)[flat]
-            px_color = kf_colors_l.reshape(-1, 3)[flat].astype(jnp.float32)
+            px_depth = gather_scalar(kf_depths_l, flat)
+            px_color = gather_rgb(kf_colors_l, flat).astype(jnp.float32)
         return p, i, j, px_depth, px_color, valid
 
     return pick

@@ -114,7 +114,9 @@ def run_minislam(mode: str = "dp", frames: int = 6, seed: int = 0,
 
     if mode == "dp":
         from myslam_tpu.engine.mapper import make_mapper
-        mapper = make_mapper(cfg, scene, cam, ray_sharding=ray_sharding)
+        # the default product DP impl: shard_map scan, one explicit
+        # gradient psum per iteration — here crossing PROCESS boundaries
+        mapper = make_mapper(cfg, scene, cam, dp_mesh=mesh)
     else:
         from myslam_tpu.parallel.distributed_ba import make_distributed_ba
         mappers = {

@@ -26,6 +26,8 @@ def main():
                     help="comma list of FUSE_PLANE_CALLS settings to time")
     ap.add_argument("--topk", type=int, default=-1,
                     help="override rendering.color_topk (-1 = config)")
+    ap.add_argument("--patch", type=int, default=0,
+                    help="override mapping.pixel_patch (0 = config)")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +57,9 @@ def main():
     cfg["cam"].update(H=680, W=1200, fx=600.0, fy=600.0,
                       cx=599.5, cy=339.5)
     cfg["mapping"]["pixels"] = 4000
+    if args.patch:
+        cfg["mapping"]["pixel_patch"] = args.patch
+        print(f"pixel_patch={args.patch}", flush=True)
 
     cam = Camera.from_cfg(cfg)
     bound = compute_bound(cfg)
