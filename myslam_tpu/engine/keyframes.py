@@ -199,6 +199,98 @@ class KeyframeStore:
         self.count += 1
         return pos
 
+    # -- host_staged device line-cache ---------------------------------
+    #
+    # Staging the whole (w_max, H, W) window per mapped frame costs a
+    # ~90 MB H2D upload at the Replica operating point (PERF.md).  The
+    # window's slots barely change between consecutive mapped frames, so
+    # a small slab of quantized imagery "lines" in HBM acts as a cache:
+    # the mapper reads pixels straight from the slab (same packed gather
+    # as the device="packed" store) and only slots NOT already resident
+    # are uploaded — usually none.  Line ``lines-1`` is the scratch line
+    # for the current (not yet admitted) frame; admission binds the
+    # scratch contents to a permanent line with a device-side copy.
+
+    def init_cache(self, lines: int) -> None:
+        assert self.host_mode
+        lines = int(lines)
+        self.cache_lines = lines
+        self.scratch_line = lines - 1
+        self.cache_colors = jnp.zeros(
+            (lines, self.cam.H, self.cam.W, 3), jnp.uint8)
+        self.cache_depths = jnp.zeros(
+            (lines, self.cam.H, self.cam.W), jnp.uint16)
+        self.cache_inv_q = jnp.ones((lines,), jnp.float32)
+        self.line_of_slot = np.full((self.capacity,), -1, np.int32)
+        self.slot_of_line = np.full((lines,), -1, np.int32)
+        self._line_tick = np.zeros((lines,), np.int64)
+        self._line_tick[self.scratch_line] = np.iinfo(np.int64).max
+        self._tick = 0
+        self.cache_misses = 0
+
+    def _write_line(self, line: int, color_u8, depth_u16, inv_q) -> None:
+        self.cache_colors = _write_slot_donated(
+            self.cache_colors, line, jnp.asarray(color_u8))
+        self.cache_depths = _write_slot_donated(
+            self.cache_depths, line, jnp.asarray(depth_u16))
+        self.cache_inv_q = self.cache_inv_q.at[line].set(jnp.float32(inv_q))
+
+    def stage_scratch(self, color_u8, depth_u16, inv_q) -> int:
+        """Upload the current frame's packet into the scratch line."""
+        self._write_line(self.scratch_line, color_u8, depth_u16, inv_q)
+        return self.scratch_line
+
+    def _lru_victim(self) -> int:
+        ln = int(np.argmin(self._line_tick))
+        if self._line_tick[ln] >= self._tick:
+            raise RuntimeError(
+                "host_staged cache smaller than the BA window; raise "
+                "mapping.host_cache_lines")
+        old = self.slot_of_line[ln]
+        if old >= 0:
+            self.line_of_slot[old] = -1
+        return ln
+
+    def stage_lines(self, slots) -> np.ndarray:
+        """Ensure the given global slots are cache-resident (uploading
+        only the missing ones), pin them for this window, and return
+        their line ids."""
+        slots = np.asarray(slots, np.int64)
+        self._tick += 1
+        t = self._tick
+        for s in slots:  # pin residents first: they can't become victims
+            ln = self.line_of_slot[s]
+            if ln >= 0:
+                self._line_tick[ln] = t
+        lines = np.empty(len(slots), np.int32)
+        for k, s in enumerate(slots):
+            ln = int(self.line_of_slot[s])
+            if ln < 0:
+                ln = self._lru_victim()
+                self._write_line(ln, self.colors_u8[s], self.depths_u16[s],
+                                 self.depth_inv_q[s])
+                self.line_of_slot[s] = ln
+                self.slot_of_line[ln] = s
+                self._line_tick[ln] = t
+                self.cache_misses += 1
+            lines[k] = ln
+        return lines
+
+    def bind_scratch(self, slot: int) -> None:
+        """Admit the scratch line's imagery as keyframe ``slot``'s cache
+        entry (device-side copy, no re-upload at the next selection)."""
+        self._tick += 1
+        ln = self._lru_victim()
+        self.cache_colors = _copy_slot(self.cache_colors, ln,
+                                       self.scratch_line)
+        self.cache_depths = _copy_slot(self.cache_depths, ln,
+                                       self.scratch_line)
+        self.cache_inv_q = self.cache_inv_q.at[ln].set(
+            self.cache_inv_q[self.scratch_line])
+        self.line_of_slot[slot] = ln
+        self.slot_of_line[ln] = slot
+        self._line_tick[ln] = self._tick
+
     def note_admitted(self, frame_id: int, has_depthless: bool = True) -> int:
         """Record a keyframe whose buffers a device program already wrote
         at slot ``count`` (fused admission, engine/mapper.make_frame_mapper)."""

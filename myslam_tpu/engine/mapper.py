@@ -642,43 +642,40 @@ def make_window_frame_mapper(
     importance: bool = True,
     opt_sharding=None,
 ):
-    """Fused mapped frame over a HOST-STAGED window (keyframe_device: cpu).
+    """Fused mapped frame over a HOST-side store with a DEVICE line-cache
+    (keyframe_device: host_staged).
 
     Selection runs as its own small device program (it needs only poses
     and the current depth — reference Mapper.py:146-209); the host then
-    gathers the selected slots' quantized imagery from the CPU store and
-    stages ONE (w_max, H, W) window to the device; this program runs the
-    BA scan + pose write-back with the window indexed in selection order
-    (reference keyframe_device handling, Mapper.py:268-287).  Keyframe
-    imagery admission is host-side; pose admission happens here.
+    ensures the selected slots' quantized imagery is resident in the
+    store's cache slab (KeyframeStore.stage_lines — uploads only the
+    slots NOT already cached, usually none) and this program runs the BA
+    scan + pose write-back reading pixels straight from the slab via
+    ``win_lines``, exactly the packed-store gather path (reference
+    keyframe_device handling, Mapper.py:268-287).  Keyframe imagery
+    admission is host-side (plus a device-side scratch-line bind); pose
+    admission happens here.
 
     Returns window_map(ms, opt_buf, est_dev, kf_est, kf_gt, slot_kf,
-                       n_slots, pose_mask, win_colors_u8, win_depths_u16,
-                       win_inv_q (w_max,), gt_c2w, idx, count, key, *,
-                       iters, lr_factor, joint_opt, admit, on_chunk)
+                       n_slots, pose_mask, cache_colors, cache_depths,
+                       cache_inv_q, win_lines (w_max,), gt_c2w, idx,
+                       count, key, *, iters, lr_factor, joint_opt,
+                       admit, on_chunk)
       -> (ms, opt_buf, est_dev, kf_est, kf_gt, losses)
     """
     from myslam_tpu.core.quaternion import matrix_to_cam_pose
 
     m = cfg["mapping"]
     loss_fn, optimizer = _build_core(
-        cfg, scene, cam, ray_sharding=ray_sharding, importance=importance)
+        cfg, scene, cam, ray_sharding=ray_sharding, importance=importance,
+        packed=True)
     opt_sharder = (make_row_sharder(opt_sharding)
                    if opt_sharding is not None else None)
-    # numpy, not jnp: build-time device-array constants are fetched D2H
-    # during MLIR lowering (see SceneGeometry.bound_array).
-    import numpy as np
-    win_slot_ids = np.arange(w_max, dtype=np.int32)  # identity indexing
 
     def run_chunk(params, opt_state, est_dev, kf_est, kf_gt, slot_kf,
-                  n_slots, pose_mask, win_colors_u8, win_depths_u16,
-                  win_inv_q, gt_c2w, idx, count, key, start, lr_scale,
-                  total, joint_opt, admit, chunk: int):
-        win_colors = (win_colors_u8.astype(jnp.float32) * (1.0 / 255.0)
-                      ).astype(jnp.float16)
-        win_depths = (win_depths_u16.astype(jnp.float32)
-                      * win_inv_q[:, None, None])
-
+                  n_slots, pose_mask, cache_colors, cache_depths,
+                  cache_inv_q, win_lines, gt_c2w, idx, count, key, start,
+                  lr_scale, total, joint_opt, admit, chunk: int):
         def init_fn(op):
             params, opt_state = op
             c2ws = kf_est[slot_kf]
@@ -693,9 +690,9 @@ def make_window_frame_mapper(
             start == 0, init_fn, lambda op: op, (params, opt_state))
 
         params, opt_state, losses = _scan_steps(
-            loss_fn, optimizer, params, opt_state, pose_mask, win_slot_ids,
-            n_slots, win_colors, win_depths, key, start, lr_scale, chunk,
-            total=total, opt_sharder=opt_sharder)
+            loss_fn, optimizer, params, opt_state, pose_mask, win_lines,
+            n_slots, cache_colors, (cache_depths, cache_inv_q), key,
+            start, lr_scale, chunk, total=total, opt_sharder=opt_sharder)
 
         # Pose write-back (global slot ids) + pose-only admission; the
         # imagery admission happens host-side in the scheduler.
@@ -719,8 +716,8 @@ def make_window_frame_mapper(
     jit_init = jax.jit(optimizer.init)
 
     def window_map(ms, opt_buf, est_dev, kf_est, kf_gt, slot_kf, n_slots,
-                   pose_mask, win_colors_u8, win_depths_u16, win_inv_q,
-                   gt_c2w, idx, count, key, *, iters: int,
+                   pose_mask, cache_colors, cache_depths, cache_inv_q,
+                   win_lines, gt_c2w, idx, count, key, *, iters: int,
                    lr_factor: float, joint_opt: bool, admit: bool,
                    on_chunk=None):
         params = {"map": ms, "poses": jnp.zeros((w_max, 7), jnp.float32)}
@@ -735,10 +732,10 @@ def make_window_frame_mapper(
             (params, opt_buf, est_dev, kf_est, kf_gt,
              chunk_losses) = jit_chunk(
                 params, opt_buf, est_dev, kf_est, kf_gt, slot_kf,
-                n_slots, pose_mask, win_colors_u8, win_depths_u16,
-                win_inv_q, gt_c2w, jnp.int32(idx), jnp.int32(count), key,
-                jnp.int32(done), lr_scale, total, jo, ad,
-                chunk=chunk_iters)
+                n_slots, pose_mask, cache_colors, cache_depths,
+                cache_inv_q, win_lines, gt_c2w, jnp.int32(idx),
+                jnp.int32(count), key, jnp.int32(done), lr_scale, total,
+                jo, ad, chunk=chunk_iters)
             losses.append(chunk_losses)
             if on_chunk is not None:
                 on_chunk(params, sel, done, min(done + chunk_iters, iters))

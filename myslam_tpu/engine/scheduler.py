@@ -284,6 +284,16 @@ class SLAMSystem:
             device="host_staged" if host_kf else self.keyframe_device)
         self.scratch_slot = self.store.capacity - 1
         self.w_max = self.window_size + 2  # selected + last two + current
+        if host_kf:
+            # Device line-cache: the mapped frame reads pixels straight
+            # from this slab and uploads only non-resident slots
+            # (KeyframeStore.init_cache).  Needs >= w_max + 1 lines
+            # (window + scratch); more lines = fewer re-uploads after
+            # eviction.  ~4 MB/line at 680x1200.
+            lines = max(self.w_max + 1,
+                        min(int(m.get("host_cache_lines", 64)),
+                            self.store.capacity + 1))
+            self.store.init_cache(lines)
         if self.kf_shards > 1:
             self._place_store_sharded()
 
@@ -311,12 +321,19 @@ class SLAMSystem:
         # Host-keyframe mode runs selection as its own program (the fused
         # mapper's in-program selection needs device-resident imagery);
         # the key fold matches the fused path for draw-for-draw parity.
-        self._select_host_jit = jax.jit(
-            lambda kf_est, count, est_dev, idx, d_u16, inv_q, key, jo:
-            self._select_window(
+        def _select_host(kf_est, count, est_dev, idx, d_u16, inv_q, key, jo):
+            slot_kf, n_slots, pose_mask = self._select_window(
                 kf_est, count, est_dev[idx],
                 d_u16.astype(jnp.float32) * inv_q,
-                jax.random.fold_in(key, 0x7FFFFFFF), jo))
+                jax.random.fold_in(key, 0x7FFFFFFF), jo)
+            # Everything the HOST needs (cache staging) as one packed
+            # vector: a single ~34 ms tunnel round-trip per mapped frame
+            # instead of two.
+            host_vec = jnp.concatenate(
+                [slot_kf, n_slots[None].astype(jnp.int32)])
+            return host_vec, slot_kf, n_slots, pose_mask
+
+        self._select_host_jit = jax.jit(_select_host)
         # Mapper variants by importance-branch only: the first-frame and
         # steady schedules share each variant's compiled program (iteration
         # count is a host chunk loop; lr factor is traced).  The
@@ -701,9 +718,10 @@ class SLAMSystem:
 
     def _map_frame_host(self, idx, pkt, first, cur_has_depthless,
                         joint_opt, admit, needs_importance):
-        """Mapped frame with keyframe_device: cpu — device-side window
-        selection, host gather of the selected slots' quantized imagery,
-        one staged window upload, fused BA program, host admission."""
+        """Mapped frame with keyframe_device: host_staged — device-side
+        window selection, device line-cache staging of only the
+        non-resident slots (usually none), fused BA program reading the
+        cache slab, host + scratch-line admission."""
         mapper = self._mappers[needs_importance]
         key = self._next_key()
         sel = self._select_host_jit(
@@ -711,18 +729,17 @@ class SLAMSystem:
             self._est_dev, jnp.int32(idx), jnp.asarray(pkt.depth_u16),
             jnp.float32(pkt.depth_inv_q), key,
             jnp.float32(1.0 if joint_opt else 0.0))
-        slot_kf = np.asarray(sel[0])
-        n_slots = int(sel[1])
-        win_u8 = np.zeros((self.w_max,) + pkt.color_u8.shape, np.uint8)
-        win_u16 = np.zeros((self.w_max,) + pkt.depth_u16.shape, np.uint16)
-        win_q = np.ones((self.w_max,), np.float32)
+        # Kick off the selection fetch now and overlap its tunnel
+        # round-trip with the scratch-line upload of the current packet.
+        sel[0].copy_to_host_async()
+        scratch_line = self.store.stage_scratch(
+            pkt.color_u8, pkt.depth_u16, pkt.depth_inv_q)
+        host_vec = np.asarray(sel[0])
+        slot_kf, n_slots = host_vec[:-1], int(host_vec[-1])
+        win_lines = np.full((self.w_max,), scratch_line, np.int32)
         if n_slots > 1:
-            sl = slot_kf[:n_slots - 1]
-            win_u8[:n_slots - 1], win_u16[:n_slots - 1], win_q[:n_slots - 1] \
-                = self.store.window_imagery(sl)
-        win_u8[n_slots - 1] = pkt.color_u8
-        win_u16[n_slots - 1] = pkt.depth_u16
-        win_q[n_slots - 1] = pkt.depth_inv_q
+            win_lines[:n_slots - 1] = self.store.stage_lines(
+                slot_kf[:n_slots - 1])
 
         if self._opt_buf is None:
             self._opt_buf = mapper.jit_init(
@@ -733,16 +750,18 @@ class SLAMSystem:
         (self.map_state, self._opt_buf, self._est_dev, self.store.est_c2w,
          self.store.gt_c2w, losses) = mapper(
             self.map_state, self._opt_buf, self._est_dev,
-            self.store.est_c2w, self.store.gt_c2w, sel[0], sel[1],
-            sel[2], jnp.asarray(win_u8), jnp.asarray(win_u16),
-            jnp.asarray(win_q), jnp.asarray(pkt.gt_c2w), idx,
+            self.store.est_c2w, self.store.gt_c2w, sel[1], sel[2],
+            sel[3], self.store.cache_colors, self.store.cache_depths,
+            self.store.cache_inv_q, jnp.asarray(win_lines),
+            jnp.asarray(pkt.gt_c2w), idx,
             self.store.count, key, iters=iters,
             lr_factor=self._lr_first_factor if first else self._lr_factor,
             joint_opt=joint_opt, admit=admit, on_chunk=on_chunk)
         if admit:
-            self.store.add_host(idx, pkt.color_u8, pkt.depth_u16,
-                                pkt.depth_inv_q,
-                                has_depthless=cur_has_depthless)
+            c_np, d_np = pkt.imagery_host()
+            pos = self.store.add_host(idx, c_np, d_np, pkt.depth_inv_q,
+                                      has_depthless=cur_has_depthless)
+            self.store.bind_scratch(pos)
         return losses
 
     def _post_map(self, idx: int, losses, t0: float) -> dict:

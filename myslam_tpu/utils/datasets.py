@@ -480,7 +480,8 @@ class FramePacket:
     """
 
     __slots__ = ("idx", "gt_c2w", "px_i", "px_j", "px_color", "px_depth",
-                 "color_u8", "depth_u16", "depth_inv_q", "has_depthless")
+                 "color_u8", "depth_u16", "depth_inv_q", "has_depthless",
+                 "color_u8_host", "depth_u16_host")
 
     def __init__(self, idx, gt_c2w, px_i, px_j, px_color, px_depth,
                  color_u8=None, depth_u16=None, depth_inv_q=0.0,
@@ -495,6 +496,20 @@ class FramePacket:
         self.depth_u16 = depth_u16
         self.depth_inv_q = depth_inv_q
         self.has_depthless = has_depthless
+        # numpy imagery retained by stage_packet so host-side consumers
+        # (the host keyframe store) never fetch the staged device copy
+        # back through the link
+        self.color_u8_host = None
+        self.depth_u16_host = None
+
+    def imagery_host(self):
+        """(color_u8, depth_u16) as host numpy arrays, free of any
+        device round-trip when the packet was staged."""
+        c = (self.color_u8_host if self.color_u8_host is not None
+             else np.asarray(self.color_u8))
+        d = (self.depth_u16_host if self.depth_u16_host is not None
+             else np.asarray(self.depth_u16))
+        return c, d
 
 
 def build_packet(dataset, idx: int, *, iters: int, n_px: int,
@@ -562,6 +577,8 @@ def stage_packet(pkt: FramePacket) -> FramePacket:
     pkt.px_color = jax.device_put(pkt.px_color)
     pkt.px_depth = jax.device_put(pkt.px_depth)
     if pkt.color_u8 is not None:
+        pkt.color_u8_host = pkt.color_u8
+        pkt.depth_u16_host = pkt.depth_u16
         pkt.color_u8 = jax.device_put(pkt.color_u8)
         pkt.depth_u16 = jax.device_put(pkt.depth_u16)
     return pkt

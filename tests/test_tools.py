@@ -224,3 +224,39 @@ def test_vertex_visibility_unseen_derivation(tmp_path):
                      np.float32)
     seen = vertex_visibility(verts, cfg, [(depth, c2w)])
     assert seen.tolist() == [True, False, False]
+
+
+def test_frontend_mock_and_headless(tmp_path, monkeypatch):
+    """Interactive frontend (reference visualizer_util.py:204): the
+    driver API records events through the queue protocol, the backend
+    resolver degrades to headless without a display, and the headless
+    loop renders live frames from the same event stream."""
+    import multiprocessing as mp
+
+    from myslam_tpu.utils.frontend import (
+        SLAMFrontend,
+        _headless_loop,
+        pick_backend,
+    )
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    assert pick_backend("auto") == "headless"  # no display, no open3d
+
+    fe = SLAMFrontend(str(tmp_path), backend="mock").start()
+    pose = np.eye(4)
+    fe.update_pose(0, pose, pose)
+    fe.update_mesh("m.ply")
+    fe.update_pose(10, pose, pose)
+    fe.join()
+    kinds = [e[0] for e in fe._mock_events]
+    assert kinds == ["pose", "mesh", "pose", "close"]
+
+    # headless loop in-process: same events -> live_*.jpg frames
+    q = mp.Queue()
+    for i in (0, 10):
+        q.put(("pose", i, pose, pose))
+    q.put(("close",))
+    _headless_loop(q, str(tmp_path))
+    import glob as g
+    assert g.glob(str(tmp_path / "vis" / "live_*.jpg"))

@@ -150,6 +150,36 @@ def replay(cfg: dict, output: str, top_view: bool = False,
     return frames
 
 
+def replay_interactive(output: str, save_rendering: bool = False,
+                       every: int = 1, backend: str = "auto") -> None:
+    """Drive the interactive frontend (myslam_tpu.utils.frontend) with
+    the run's poses and mesh schedule — the reference's GUI replay
+    (visualizer.py:36-107 feeding SLAMFrontend).  Falls back to the
+    headless recorder when no display/open3d exists."""
+    from myslam_tpu.utils.frontend import SLAMFrontend
+    from myslam_tpu.utils.logger import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(output, "ckpts"))
+    if ckpt is None:
+        raise SystemExit(f"no checkpoints under {output}/ckpts")
+    data = np.load(ckpt, allow_pickle=True)
+    n = int(data["idx"]) + 1
+    est = data["estimate_c2w_list"][:n]
+    gt = data["gt_c2w_list"][:n]
+    meshes = _mesh_schedule(output, n)
+
+    frontend = SLAMFrontend(output, save_rendering=save_rendering,
+                            backend=backend).start()
+    print(f"frontend backend: {frontend.backend}")
+    mi = 0
+    for i in range(0, n, max(every, 1)):
+        while mi < len(meshes) and meshes[mi][0] <= i:
+            frontend.update_mesh(meshes[mi][1])
+            mi += 1
+        frontend.update_pose(i, est[i], gt[i])
+    frontend.join()
+
+
 def main():
     from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
 
@@ -161,10 +191,18 @@ def main():
                         help="also encode vis/replay.mp4 when ffmpeg exists")
     parser.add_argument("--every", type=int, default=10,
                         help="render every Nth frame")
+    parser.add_argument("--interactive", action="store_true",
+                        help="live window replay (open3d or matplotlib "
+                        "backend when a display exists; headless frame "
+                        "recorder otherwise)")
     args = parser.parse_args()
 
     cfg = load_config(args.config, DEFAULT_CONFIG)
     output = args.output or cfg["data"]["output"]
+    if args.interactive:
+        replay_interactive(output, save_rendering=args.save_rendering,
+                           every=args.every)
+        return
     replay(cfg, output, top_view=args.top_view,
            save_rendering=args.save_rendering, every=args.every)
 
