@@ -21,17 +21,28 @@ pads keyframe capacity so it does).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
 
 ROW = 128  # TPU native lane width
 
+# In ISOLATION the row path wins 6.3 -> 2.5 ms (the numbers above); in
+# the REAL optimizer-carrying mapping step it measured ~5 ms/iter SLOWER
+# (29.8 -> 34.7 ms/iter, profile_mapping A/B at the same chip state —
+# the wider (R, 256) intermediates lose more to fusion/live-range
+# pressure than the row transactions save).  Point gathers are therefore
+# the default; the row path stays behind this switch as a recorded
+# experiment (PERF.md).
+ROW_GATHER = os.environ.get("MYSLAM_ROW_GATHER", "0") == "1"
+
 
 def gather_scalar(buf: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
     """buf: any-shape scalar map; flat: (R,) flattened indices -> (R,)."""
     n = int(np.prod(buf.shape))
-    if n % ROW != 0:
+    if not ROW_GATHER or n % ROW != 0:
         return buf.reshape(-1)[flat]
     rows = buf.reshape(-1, ROW)[flat // ROW]
     return jnp.take_along_axis(rows, (flat % ROW)[:, None], axis=1)[:, 0]
@@ -40,7 +51,7 @@ def gather_scalar(buf: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
 def gather_rgb(buf: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
     """buf: (..., 3) interleaved; flat: (R,) PIXEL indices -> (R, 3)."""
     n = int(np.prod(buf.shape))
-    if n % ROW != 0:
+    if not ROW_GATHER or n % ROW != 0:
         return buf.reshape(-1, 3)[flat]
     f3 = flat * 3
     c = buf.reshape(-1, ROW)

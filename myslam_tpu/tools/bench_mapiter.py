@@ -28,6 +28,9 @@ def main():
                     help="override rendering.color_topk (-1 = config)")
     ap.add_argument("--patch", type=int, default=0,
                     help="override mapping.pixel_patch (0 = config)")
+    ap.add_argument("--rowgather", type=int, default=1,
+                    help="0 = force naive point gathers for the window "
+                    "pixel reads (A/B the ops/pixel_gather row path)")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +63,12 @@ def main():
     if args.patch:
         cfg["mapping"]["pixel_patch"] = args.patch
         print(f"pixel_patch={args.patch}", flush=True)
+
+    if not args.rowgather:
+        import myslam_tpu.engine.mapper as em
+        em.gather_scalar = lambda buf, flat: buf.reshape(-1)[flat]
+        em.gather_rgb = lambda buf, flat: buf.reshape(-1, 3)[flat]
+        print("rowgather=0 (naive point gathers)", flush=True)
 
     cam = Camera.from_cfg(cfg)
     bound = compute_bound(cfg)

@@ -9,8 +9,17 @@ element of the buffer.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+import myslam_tpu.ops.pixel_gather as pg
 from myslam_tpu.ops.pixel_gather import ROW, gather_rgb, gather_scalar
+
+
+@pytest.fixture(autouse=True)
+def _force_row_path(monkeypatch):
+    """The row path is opt-in (MYSLAM_ROW_GATHER; slower in the real
+    fused step, PERF.md) — these tests exercise it explicitly."""
+    monkeypatch.setattr(pg, "ROW_GATHER", True)
 
 
 def test_gather_scalar_matches_point_gather():
