@@ -28,7 +28,7 @@ HBM_GBPS = 819.0
 F32_TFLOPS = 98.5
 
 
-def build(cfg):
+def build(cfg, color_topk: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +50,8 @@ def build(cfg):
     scene = SceneGeometry(
         sdf_layout, color_layout, tuple(map(tuple, bound.tolist())),
         float(cfg["model"]["truncation"]), int(r["n_stratified"]),
-        int(r["n_importance"]), bool(r["perturb"]))
+        int(r["n_importance"]), bool(r["perturb"]),
+        color_topk=color_topk)
     key = jax.random.PRNGKey(0)
     ms = init_map_state(key, sdf_layout, color_layout,
                         init_decoder_params(key, c_dim=32))
@@ -105,29 +106,53 @@ def main():
     cfg["mapping"]["pixels"] = 4000
     cfg["tracking"]["pixels"] = 2000
 
+    # Two math lanes (PERF.md): reference-exact color (topk 0) and the
+    # top-K approximation the synthetic bench headline opts into.
+    topk = int(cfg["rendering"].get("color_topk", 0))
     (jax, jnp, cam, scene, ms, poses, mask, slot_kf, kf_colors, kf_depths,
-     mapper, tracker, sdf_layout, color_layout) = build(cfg)
+     mapper, tracker, sdf_layout, color_layout) = build(cfg, color_topk=0)
+    mapper_topk = None
+    if topk:
+        mapper_topk = build(cfg, color_topk=topk)[10]
     import jax.tree_util as jtu
 
     key = jax.random.PRNGKey(1)
     W = poses.shape[0]
     n_iters = args.iters
 
-    def run_map(ms):
-        return mapper(ms, poses, mask, slot_kf, jnp.int32(W), kf_colors,
-                      kf_depths, key, iters=n_iters, lr_factor=1.0)
-
-    # warm up (compile)
+    # Time the CHUNK PROGRAM itself — what the scheduler actually
+    # dispatches per mapped frame.  Calling the map_step host wrapper in
+    # a timing loop instead (as this tool did through round 4) bills a
+    # per-call optimizer.init dispatch plus a ~20-leaf host tree copy at
+    # ~3-5 ms tunnel dispatch latency each: it read ~30 ms/iter when the
+    # program runs 18.5 (tools/bench_scansteps A/B, PERF.md).  The
+    # donation contract makes the rep loop natural: each call consumes
+    # the previous call's outputs.
     from myslam_tpu.utils.timing import barrier
 
-    out = run_map(jtu.tree_map(jnp.copy, ms))
-    barrier(out[-1])
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        out = run_map(jtu.tree_map(jnp.copy, ms))
-    barrier(out[-1])  # span barrier: amortizes the fetch round-trip
-    map_ms = (time.time() - t0) / reps * 1e3
+    def time_chunk(mpr, ms_in):
+        params = {"map": ms_in, "poses": jnp.copy(poses)}
+        opt_state = mpr.jit_init(params)
+
+        def run_chunk(params, opt_state):
+            return mpr.jit_chunk(
+                params, opt_state, mask, slot_kf, jnp.int32(W), kf_colors,
+                kf_depths, key, jnp.int32(0), jnp.float32(1.0),
+                jnp.int32(n_iters), chunk=n_iters)
+
+        params, opt_state, losses = run_chunk(params, opt_state)  # compile
+        barrier(losses)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            params, opt_state, losses = run_chunk(params, opt_state)
+        barrier(losses)  # span barrier: amortizes the fetch round-trip
+        return (time.time() - t0) / reps * 1e3, params["map"]
+
+    map_ms, ms = time_chunk(mapper, ms)  # donated chain: rebind ms
+    map_topk_ms = None
+    if mapper_topk is not None:
+        map_topk_ms, ms = time_chunk(mapper_topk, ms)
 
     # tracking step (8 iters x 2000 px)
     t = cfg["tracking"]
@@ -141,6 +166,7 @@ def main():
     tout = tracker(ms, poses[1], px_i, px_j, px_color, px_depth, key)
     barrier(tout[1])
     t0 = time.time()
+    reps = 3
     for _ in range(reps):
         tout = tracker(ms, poses[1], px_i, px_j, px_color, px_depth, key)
     barrier(tout[1])
@@ -192,11 +218,19 @@ def main():
     gather_b = analytic_gather_bytes(scene, int(cfg["mapping"]["pixels"]))
     report = {
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # Exact color lane (reference math, bench.py --exact).
         "map_step_ms": round(map_ms, 2),
         # Split for the scaling model: map_iter_ms (loss+grad, shards
         # under ray DP) vs map_opt_ms (dense Adam atlas update,
         # replicated under DP).  The measured step includes both.
         "map_iter_ms": round(max(per_iter_ms - opt_ms, 0.0), 3),
+        # Top-K color lane (what the synthetic bench headline runs).
+        "map_step_topk_ms": (round(map_topk_ms, 2)
+                             if map_topk_ms is not None else None),
+        "map_iter_topk_ms": (
+            round(max(map_topk_ms / n_iters - opt_ms, 0.0), 3)
+            if map_topk_ms is not None else None),
+        "color_topk": topk,
         "map_opt_ms": round(opt_ms, 3),
         "track_step_ms": round(track_ms, 2),
         "track_iter_ms": round(track_ms / it_n, 3),
@@ -217,8 +251,7 @@ def main():
 
     if args.trace:
         with jax.profiler.trace(args.trace):
-            out = run_map(jtu.tree_map(jnp.copy, ms))
-            jax.block_until_ready(out[-1])
+            _, ms = time_chunk(mapper, ms)
         report["trace_dir"] = args.trace
 
     if args.out:

@@ -165,21 +165,34 @@ def main():
     map_iters, track_iters = int(m["iters"]), int(t["iters"])
     every = int(m["every_frame"])
 
-    dp_rows = []
-    for n in (1, 2, 4, 8, 16):
-        fps_z = project_dp(n, map_iter_ms, map_opt_ms, track_iter_ms,
-                           grad_bytes, map_iters, track_iters, every,
-                           args.ici_gbps, zero_opt=True)
-        fps_r = project_dp(n, map_iter_ms, map_opt_ms, track_iter_ms,
-                           grad_bytes, map_iters, track_iters, every,
-                           args.ici_gbps, zero_opt=False)
-        dp_rows.append((n, fps_z, fps_r, fps_z / args.reference_fps))
-    pipe_rows = []
-    for n_track, n_map in ((1, 1), (1, 3), (2, 6), (4, 12)):
-        fps = project_pipeline(n_track, n_map, map_iter_ms, map_opt_ms,
-                               track_iter_ms, grad_bytes, map_iters,
-                               track_iters, every, args.ici_gbps)
-        pipe_rows.append((n_track, n_map, fps, fps / args.reference_fps))
+    # Lanes: the top-K color lane is what the bench headline runs; the
+    # exact lane is the reference's math (PERF.md lane table).
+    lanes = [("reference-exact color", map_iter_ms)]
+    if prof is not None and prof.get("map_iter_topk_ms"):
+        lanes.insert(0, (f"top-K color (K={prof.get('color_topk')}, "
+                         "bench headline)",
+                         float(prof["map_iter_topk_ms"])))
+
+    def rows_for(iter_ms):
+        dp = []
+        for n in (1, 2, 4, 8, 16):
+            fps_z = project_dp(n, iter_ms, map_opt_ms, track_iter_ms,
+                               grad_bytes, map_iters, track_iters, every,
+                               args.ici_gbps, zero_opt=True)
+            fps_r = project_dp(n, iter_ms, map_opt_ms, track_iter_ms,
+                               grad_bytes, map_iters, track_iters, every,
+                               args.ici_gbps, zero_opt=False)
+            dp.append((n, fps_z, fps_r, fps_z / args.reference_fps))
+        pipe = []
+        for n_track, n_map in ((1, 1), (1, 3), (2, 6), (4, 12)):
+            fps = project_pipeline(n_track, n_map, iter_ms, map_opt_ms,
+                                   track_iter_ms, grad_bytes, map_iters,
+                                   track_iters, every, args.ici_gbps)
+            pipe.append((n_track, n_map, fps, fps / args.reference_fps))
+        return dp, pipe
+
+    dp_rows, pipe_rows = rows_for(lanes[0][1])
+    lane_tables = [(name, *rows_for(ms)) for name, ms in lanes]
 
     out = {
         "inputs": {
@@ -211,18 +224,22 @@ def main():
               "SCALING.md`.  Inputs and their source are printed below; "
               "the communication model is explicit in project_dp/"
               "project_pipeline.\n")
-        print("## Ray-DP (serial track->map)\n")
-        print("| chips | fps (zero_opt, default) | fps (replicated opt) "
-              "| x reference (est.) |")
-        print("|---|---|---|---|")
-        for n, fz, fr, v in dp_rows:
-            print(f"| {n} | {fz:.1f} | {fr:.1f} | {v:.1f}x |")
-        print("\n## Pipelined track || map (parallel.pipeline)\n")
-        print("| track chips | map chips | projected fps | x reference |")
-        print("|---|---|---|---|")
-        for a, b, f, v in pipe_rows:
-            print(f"| {a} | {b} | {f:.1f} | {v:.1f}x |")
-        print(f"\nInputs: map {map_iter_ms:.2f} ms/iter ({src_m}), "
+        for lane_name, dp_l, pipe_l in lane_tables:
+            print(f"## Ray-DP (serial track->map) — {lane_name}\n")
+            print("| chips | fps (zero_opt, default) | fps (replicated "
+                  "opt) | x reference (est.) |")
+            print("|---|---|---|---|")
+            for n, fz, fr, v in dp_l:
+                print(f"| {n} | {fz:.1f} | {fr:.1f} | {v:.1f}x |")
+            print(f"\n## Pipelined track || map (parallel.pipeline) — "
+                  f"{lane_name}\n")
+            print("| track chips | map chips | projected fps "
+                  "| x reference |")
+            print("|---|---|---|---|")
+            for a, b, f, v in pipe_l:
+                print(f"| {a} | {b} | {f:.1f} | {v:.1f}x |")
+            print()
+        print(f"Inputs: map {', '.join(f'{n} {m:.2f} ms/iter' for n, m in lanes)} ({src_m}), "
               f"opt {map_opt_ms:.2f} ms/iter ({src_o}), "
               f"track {track_iter_ms:.2f} ms/iter ({src_t}); "
               f"all-reduce payload {grad_bytes/1e6:.1f} MB/iter at "
