@@ -26,6 +26,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--rng", type=str, default="threefry2x32",
+                    choices=("threefry2x32", "rbg"),
+                    help="PRNG impl for the in-iteration draws (rbg is "
+                    "hardware-accelerated on TPU)")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +86,8 @@ def main():
     params = {"map": ms, "poses": poses}
     opt_state = jax.jit(optimizer.init)(params)
     n_it = args.iters
+    key = jax.random.key(0, impl=args.rng)
+    print(f"rng={args.rng}", flush=True)
 
     variants = {
         "nocond": lambda p, o, k: _scan_steps(
