@@ -278,9 +278,16 @@ class KeyframeStore:
 
     def bind_scratch(self, slot: int) -> None:
         """Admit the scratch line's imagery as keyframe ``slot``'s cache
-        entry (device-side copy, no re-upload at the next selection)."""
+        entry (device-side copy, no re-upload at the next selection).
+
+        Prefers a never-assigned line: _lru_victim runs AFTER the tick
+        bump, so at/near minimum cache size it could otherwise evict a
+        line stage_lines just pinned for the current window — forcing a
+        guaranteed re-upload of that slot on the next mapped frame."""
         self._tick += 1
-        ln = self._lru_victim()
+        free = np.nonzero(self.slot_of_line < 0)[0]
+        free = free[free != self.scratch_line]
+        ln = int(free[0]) if len(free) else self._lru_victim()
         self.cache_colors = _copy_slot(self.cache_colors, ln,
                                        self.scratch_line)
         self.cache_depths = _copy_slot(self.cache_depths, ln,

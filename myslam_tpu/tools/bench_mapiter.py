@@ -28,9 +28,10 @@ def main():
                     help="override rendering.color_topk (-1 = config)")
     ap.add_argument("--patch", type=int, default=0,
                     help="override mapping.pixel_patch (0 = config)")
-    ap.add_argument("--rowgather", type=int, default=1,
-                    help="0 = force naive point gathers for the window "
-                    "pixel reads (A/B the ops/pixel_gather row path)")
+    ap.add_argument("--rowgather", type=int, default=0,
+                    help="1 = enable the ops/pixel_gather row path for "
+                    "the window pixel reads (sets pixel_gather.ROW_GATHER"
+                    "; 0 = the default point gathers)")
     args = ap.parse_args()
 
     import jax
@@ -64,11 +65,14 @@ def main():
         cfg["mapping"]["pixel_patch"] = args.patch
         print(f"pixel_patch={args.patch}", flush=True)
 
-    if not args.rowgather:
-        import myslam_tpu.engine.mapper as em
-        em.gather_scalar = lambda buf, flat: buf.reshape(-1)[flat]
-        em.gather_rgb = lambda buf, flat: buf.reshape(-1, 3)[flat]
-        print("rowgather=0 (naive point gathers)", flush=True)
+    # ROW_GATHER defaults off via MYSLAM_ROW_GATHER, so the flag must
+    # actively flip the module switch in BOTH directions — otherwise
+    # rowgather=1 vs rowgather=0 would silently time identical code.
+    import myslam_tpu.ops.pixel_gather as pg
+    pg.ROW_GATHER = bool(args.rowgather)
+    print(f"rowgather={int(args.rowgather)} "
+          f"({'row-aligned' if args.rowgather else 'naive point'} "
+          "gathers)", flush=True)
 
     cam = Camera.from_cfg(cfg)
     bound = compute_bound(cfg)

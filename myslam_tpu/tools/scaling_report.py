@@ -191,8 +191,13 @@ def main():
             pipe.append((n_track, n_map, fps, fps / args.reference_fps))
         return dp, pipe
 
-    dp_rows, pipe_rows = rows_for(lanes[0][1])
-    lane_tables = [(name, *rows_for(ms)) for name, ms in lanes]
+    # First lane's rows drive the top-level JSON tables; reuse them in
+    # lane_tables instead of recomputing, and TAG the JSON with the lane
+    # they came from (when a top-K profile exists, lanes[0] is the top-K
+    # lane, not the reference-exact one older reports carried).
+    lane_tables = [(lanes[0][0], *rows_for(lanes[0][1]))] + [
+        (name, *rows_for(ms)) for name, ms in lanes[1:]]
+    _, dp_rows, pipe_rows = lane_tables[0]
 
     out = {
         "inputs": {
@@ -202,6 +207,7 @@ def main():
             "profile": profile_path if prof is not None else None,
             "profile_timestamp": (prof or {}).get("timestamp"),
         },
+        "projection_lane": lanes[0][0],
         "allreduce_mb_per_map_iter": round(grad_bytes / 1e6, 2),
         "ici_gbps_assumed": args.ici_gbps,
         "dp_projection": [

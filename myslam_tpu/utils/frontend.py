@@ -236,28 +236,43 @@ def _headless_loop(q: mp.Queue, output: str) -> None:
     vis_dir = os.path.join(output, "vis")
     os.makedirs(vis_dir, exist_ok=True)
     est, gt = [], []
+    n_rx = 0
+    last_i = 0
+
+    def _render_traj(est, gt, vis_dir, i):
+        fig, ax = plt.subplots(figsize=(6, 6))
+        if len(est) > 1:
+            ax.plot([p[0] for p in est], [p[1] for p in est], "-",
+                    color="red", label="estimated")
+        if len(gt) > 1:
+            ax.plot([p[0] for p in gt], [p[1] for p in gt], "-",
+                    color="green", label="ground truth")
+        ax.legend(loc="upper right")
+        ax.set_title(f"frame {i}")
+        fig.savefig(os.path.join(vis_dir, f"live_{i:05d}.jpg"), dpi=80)
+        plt.close(fig)
+
     while True:
         msg = _drain(q, block=True)
         if msg is None:
             continue
         if msg[0] == "close":
+            # Always leave a final frame: with driver --every values
+            # that don't divide the render stride, the last received
+            # pose may not have triggered a render.
+            if est and n_rx % 10 != 1:
+                _render_traj(est, gt, vis_dir, last_i)
             break
         if msg[0] == "pose":
             _, i, e, g = msg
             est.append(e[:3, 3])
             if g is not None:
                 gt.append(g[:3, 3])
-            if i % 10 == 0:
-                fig, ax = plt.subplots(figsize=(6, 6))
-                if len(est) > 1:
-                    xs = [p[0] for p in est]
-                    ys = [p[1] for p in est]
-                    ax.plot(xs, ys, "-", color="red", label="estimated")
-                if len(gt) > 1:
-                    ax.plot([p[0] for p in gt], [p[1] for p in gt], "-",
-                            color="green", label="ground truth")
-                ax.legend(loc="upper right")
-                ax.set_title(f"frame {i}")
-                fig.savefig(os.path.join(vis_dir, f"live_{i:05d}.jpg"),
-                            dpi=80)
-                plt.close(fig)
+            n_rx += 1
+            last_i = int(i)
+            # Render every 10th RECEIVED event (counted locally): the
+            # driver's frame index i arrives pre-strided (--every N), so
+            # keying off i % 10 drops most output when N doesn't
+            # divide 10 (e.g. --every 7 -> i = 0, 7, 14, ...).
+            if n_rx % 10 == 1:
+                _render_traj(est, gt, vis_dir, i)
