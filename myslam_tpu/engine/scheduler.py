@@ -143,6 +143,18 @@ class SLAMSystem:
         #                          ray work sharded by window slot
         # 0 means "all visible devices".
         par = cfg.get("parallel", {}) or {}
+        # Cross-process (multi-host): when run.py wired this process into
+        # a jax.distributed runtime (run.py --nproc/--procid/--coordinator
+        # or --launch N), jax.devices() spans every process, the SAME
+        # config meshes below cross OS-process boundaries, and every
+        # process drives this scheduler with identical host code — the
+        # per-frame programs are SPMD over the global mesh, with the
+        # psums/ppermutes riding the interconnect.  The reference's
+        # counterpart is two processes sharing one GPU's memory
+        # (src/ESLAM.py:246-260); here it is N hosts sharing nothing.
+        self.n_proc = jax.process_count()
+        self.proc0 = jax.process_index() == 0
+        self._repl = None  # replicated NamedSharding over the global mesh
 
         def _n(name):
             v = int(par.get(name, 1))
@@ -169,11 +181,21 @@ class SLAMSystem:
                 "parallel.pipeline is its own mode (it composes ray DP "
                 "internally); don't combine with devices/map_shards/"
                 "kf_shards")
-        if sum(x > 1 for x in (n_dev, self.map_shards, self.kf_shards)) > 1:
+        # kf_shards x devices COMPOSE into a 2-axis ('kf', 'dp') mesh:
+        # imagery shards over 'kf'; each kf row's ray budget splits over
+        # its 'dp' columns, and every loss/grad psum reduces over both
+        # axes (distributed_ba.make_kf_frame_mapper).  This lifts pure
+        # ray-DP's gradient-ring saturation (SCALING.md: the ring term
+        # is the model's n->inf cap) without giving up imagery locality.
+        self.composed_kf_dp = n_dev > 1 and self.kf_shards > 1
+        n_parallel_axes = sum(
+            x > 1 for x in (n_dev, self.map_shards, self.kf_shards))
+        if n_parallel_axes > 1 and not (
+                n_parallel_axes == 2 and self.composed_kf_dp):
             raise ValueError(
-                "parallel.devices / map_shards / kf_shards are mutually "
-                "exclusive single-axis modes (use dryrun/pod tools for "
-                "combined meshes)")
+                "parallel.map_shards composes with nothing; the "
+                "supported combined mesh is kf_shards x devices "
+                "(keyframe-sharded BA with ray DP inside each shard)")
         self.ray_sharding = None
         self.mesh = None
         self.sharded_geom = None
@@ -211,7 +233,7 @@ class SLAMSystem:
                 and self.ray_sharding is not None:
             # pipeline's map-submesh ray DP: same explicit-collective scan
             self.dp_mesh = self.mesh_M
-        if n_dev > 1:
+        if n_dev > 1 and not self.composed_kf_dp:
             from myslam_tpu.parallel.mesh import make_mesh, ray_dp_sharding
             self.mesh = make_mesh(n_dev)
             if self.dp_impl == "shardmap":
@@ -241,8 +263,42 @@ class SLAMSystem:
             self.sharded_geom = ShardedMapGeometry(self.mesh, self.scene)
         if self.kf_shards > 1:
             from jax.sharding import Mesh
-            self.mesh = Mesh(
-                np.array(jax.devices()[:self.kf_shards]), ("kf",))
+            if self.composed_kf_dp:
+                need = self.kf_shards * n_dev
+                devs = jax.devices()
+                if need > len(devs):
+                    raise ValueError(
+                        f"kf_shards x devices = {self.kf_shards} x "
+                        f"{n_dev} needs {need} devices, "
+                        f"{len(devs)} visible")
+                self.mesh = Mesh(
+                    np.array(devs[:need]).reshape(
+                        self.kf_shards, n_dev), ("kf", "dp"))
+            else:
+                self.mesh = Mesh(
+                    np.array(jax.devices()[:self.kf_shards]), ("kf",))
+
+        if self.n_proc > 1:
+            # Supported cross-process modes: ray DP (shard_map psum per
+            # iteration) and keyframe-sharded BA — the two the parity
+            # harness validates (tests/test_product_multiproc.py).
+            if self.pipeline or self.map_shards > 1:
+                raise ValueError(
+                    "multi-process runs support parallel.devices (ray "
+                    "DP) or parallel.kf_shards; pipeline/map_shards are "
+                    "single-process modes")
+            if self.mesh is None or (
+                    self.kf_shards <= 1 and self.dp_mesh is None):
+                raise ValueError(
+                    "multi-process runs need parallel.devices: 0 (ray "
+                    "DP over all global devices, dp_impl shardmap) or "
+                    "parallel.kf_shards: 0")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._repl = NamedSharding(self.mesh, P())
+            # Long-lived state lives GLOBALLY on the mesh: every process
+            # holds the replicated leaves' local copies; per-frame host
+            # inputs enter through _stage_in.
+            self.map_state = self._put(self.map_state)
 
         mapped = sorted(set(
             list(range(0, self.n_img, self.every_frame)) + [self.n_img - 1]))
@@ -273,12 +329,12 @@ class SLAMSystem:
             cfg.get("keyframe_device", "device")).lower()
         host_kf = self.keyframe_device in ("host", "host_staged")
         if host_kf and (self.kf_shards > 1 or self.map_shards > 1
-                        or self.pipeline):
+                        or self.pipeline or self.n_proc > 1):
             raise ValueError(
-                "keyframe_device: host_staged composes with ray DP only; "
-                "use 'packed' (what 'cpu' maps to) with kf/map sharding "
-                "or pipeline — the quantized device store is the scaling "
-                "path there")
+                "keyframe_device: host_staged composes with ray DP only "
+                "(single-process); use 'packed' (what 'cpu' maps to) "
+                "with kf/map sharding, pipeline, or multi-process — the "
+                "quantized device store is the scaling path there")
         self.store = KeyframeStore(
             capacity, self.cam,
             device="host_staged" if host_kf else self.keyframe_device)
@@ -296,6 +352,14 @@ class SLAMSystem:
             self.store.init_cache(lines)
         if self.kf_shards > 1:
             self._place_store_sharded()
+        elif self._repl is not None:
+            # dp cross-process: window imagery replicated on the global
+            # mesh (the mini-loop semantics, parallel/multiproc.py).
+            self.store.colors = self._put(self.store.colors)
+            self.store.depths = self._put(self.store.depths)
+        if self._repl is not None:
+            self.store.est_c2w = self._put(self.store.est_c2w)
+            self.store.gt_c2w = self._put(self.store.gt_c2w)
 
         track_sharding = (self._track_sharding if self.pipeline
                           else self.ray_sharding)
@@ -384,7 +448,8 @@ class SLAMSystem:
         # tracking initialization and BA window assembly never round-trip
         # to the host (each host fetch through the remote TPU tunnel costs
         # milliseconds).  `estimates` is a synced host view.
-        self._est_dev = jnp.zeros((self.n_img, 4, 4), jnp.float32)
+        self._est_dev = self._put(
+            jnp.zeros((self.n_img, 4, 4), jnp.float32))
         if self.pipeline:
             # Pipeline state split (see parallel.pipeline above):
             #  * self.map_state + keyframe store + self._est_M live on
@@ -418,7 +483,11 @@ class SLAMSystem:
         # ~30 s of device work).
         self.sync_after_frame: int | None = None
         self.metrics_path = os.path.join(self.output, "metrics.jsonl")
-        self._metrics_f = open(self.metrics_path, "a")
+        # Cross-process: every process runs the identical host loop (the
+        # deferred-fetch records read replicated arrays, a local copy),
+        # but only process 0 owns the output files.
+        self._metrics_f = (open(self.metrics_path, "a") if self.proc0
+                           else open(os.devnull, "w"))
         self._pending_metrics: list[dict] = []
         # Compile wall is a first-class metric (see utils/compilelog.py):
         # every expensive trace/lower/compile lands in metrics.jsonl, and
@@ -445,12 +514,18 @@ class SLAMSystem:
         self.no_log_on_first_frame = bool(m.get("no_log_on_first_frame", True))
         self.no_vis_on_first_frame = bool(m.get("no_vis_on_first_frame", True))
         t = cfg["tracking"]
+        # Cross-process: panel rendering is a per-frame debug feature
+        # with no multi-host value; disabling it UNIFORMLY keeps every
+        # process's PRNG key stream aligned (each panel consumes a key).
+        NEVER = 10 ** 9
         self.track_vis = FrameVisualizer(
-            t["vis_freq"], t["vis_inside_freq"],
+            t["vis_freq"] if self.n_proc == 1 else NEVER,
+            t["vis_inside_freq"],
             os.path.join(self.output, "tracking_vis"),
             self.scene, self.cam, self.verbose)
         self.map_vis = FrameVisualizer(
-            m["vis_freq"], m["vis_inside_freq"],
+            m["vis_freq"] if self.n_proc == 1 else NEVER,
+            m["vis_inside_freq"],
             os.path.join(self.output, "mapping_vis"),
             self.scene, self.cam, self.verbose)
         # Depth maps kept per frame for final mesh culling (host, fp16).
@@ -461,6 +536,35 @@ class SLAMSystem:
         self.input_folder = input_folder
 
     # -- internals ---------------------------------------------------------
+
+    def _put(self, x):
+        """Place a pytree of host/uncommitted arrays on the global mesh,
+        replicated.  Identity in single-process runs.  (COMMITTED local
+        device arrays cannot be re-placed across processes — the CPU/gloo
+        backend has no cross-host transfer — so multi-process inputs stay
+        host-side until this call; see run_loop's stage flag.)"""
+        if self._repl is None:
+            return x
+        return jax.device_put(x, self._repl)
+
+    def _stage_in(self, x):
+        """Per-frame input placement: plain asarray single-process (the
+        prefetch thread already staged it); replicated device_put from
+        host numpy across processes."""
+        if self._repl is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.asarray(x), self._repl)
+
+    def _host_value(self, x):
+        """Fetch a (possibly process-sharded) array's full value to host
+        numpy.  Non-addressable shards are all-gathered first — a
+        collective every process must enter (call this from ALL
+        processes, in the same order)."""
+        if x is None or isinstance(x, np.ndarray):
+            return x
+        if self._repl is not None and not x.is_fully_addressable:
+            x = jax.jit(lambda y: y, out_shardings=self._repl)(x)
+        return np.asarray(x)
 
     @property
     def estimates(self) -> np.ndarray:
@@ -479,8 +583,11 @@ class SLAMSystem:
         self._est_dev = jnp.asarray(value)
 
     def _next_key(self) -> jax.Array:
+        # The split itself stays process-local (deterministic: every
+        # process computes the same stream); the consumed key is placed
+        # on the global mesh so programs can take it cross-process.
         self.key, sub = jax.random.split(self.key)
-        return sub
+        return self._put(sub)
 
     def _log_metrics(self, record: dict) -> None:
         """Queue a metrics record.  Values may be plain numbers, device
@@ -626,7 +733,8 @@ class SLAMSystem:
         if self._opt_buf is None:
             self._opt_buf = mapper.jit_init(
                 {"map": ms_in,
-                 "poses": jnp.zeros((self.w_max, 7), jnp.float32)})
+                 "poses": self._put(jnp.zeros((self.w_max, 7),
+                                              jnp.float32))})
         iters = self._iters_first if first else self._iters
         on_chunk = self._make_map_vis_hook(idx, pkt, iters)
         (ms_out, self._opt_buf, self._est_dev, self.store.est_c2w,
@@ -634,9 +742,9 @@ class SLAMSystem:
          losses) = mapper(
             ms_in, self._opt_buf, self._est_dev,
             self.store.est_c2w, self.store.gt_c2w, self.store.colors,
-            self.store.depths, jnp.asarray(pkt.color_u8),
-            jnp.asarray(pkt.depth_u16), pkt.depth_inv_q,
-            jnp.asarray(pkt.gt_c2w), idx, self.store.count,
+            self.store.depths, self._stage_in(pkt.color_u8),
+            self._stage_in(pkt.depth_u16), pkt.depth_inv_q,
+            self._stage_in(pkt.gt_c2w), idx, self.store.count,
             self._next_key(),
             iters=iters,
             lr_factor=self._lr_first_factor if first else self._lr_factor,
@@ -775,19 +883,51 @@ class SLAMSystem:
             # multi-second device->host state fetch is not billed to the
             # last frame's time.
             self._flush_metrics()
-            save_checkpoint(
-                os.path.join(self.output, "ckpts", f"{idx:05d}.npz"),
-                self, idx)
+            self._checkpoint(
+                os.path.join(self.output, "ckpts", f"{idx:05d}.npz"), idx)
         if (idx % self.mesh_freq == 0) and not (
                 idx == 0 and self.no_mesh_on_first_frame):
-            self._extract_and_cull_mesh(
-                os.path.join(self.output, "mesh", f"{idx:05d}_mesh.ply"),
-                upto=idx + 1)
+            if self._repl is None:
+                self._extract_and_cull_mesh(
+                    os.path.join(self.output, "mesh",
+                                 f"{idx:05d}_mesh.ply"), upto=idx + 1)
+            elif self.proc0 and self.verbose:
+                # Meshing is an offline concern cross-process: extract
+                # from the (full-state) checkpoint on one host with
+                # tools/final_mesh instead of fanning the marching
+                # pipeline over the job.
+                print(f"mesh_freq {idx}: skipped in multi-process mode "
+                      "(run tools/final_mesh on a checkpoint)")
 
         if self.verbose:
             print(f"Mapping frame {idx}: loss {float(losses[-1]):.5f} "
                   f"({dt*1e3:.0f} ms)")
         return {"map_loss": (losses, -1), "map_ms": dt * 1e3}
+
+    def _checkpoint(self, path: str, idx: int) -> None:
+        """Write a full-state checkpoint.
+
+        Cross-process: the keyframe imagery (process-sharded in kf mode)
+        is all-gathered by EVERY process (a collective), fetched to host
+        numpy, and only process 0 serializes — numpy inputs keep the
+        quantization math in save_checkpoint process-local, so no device
+        program is ever entered by one process alone."""
+        if self._repl is None:
+            save_checkpoint(path, self, idx)
+            return
+        import jax.tree_util as jtu
+
+        st = self.store
+        orig = (st.colors, st.depths, st.est_c2w, st.gt_c2w)
+        st.colors = self._host_value(st.colors)
+        st.depths = jtu.tree_map(self._host_value, st.depths)
+        st.est_c2w = np.asarray(st.est_c2w)  # replicated: local fetch
+        st.gt_c2w = np.asarray(st.gt_c2w)
+        try:
+            if self.proc0:
+                save_checkpoint(path, self, idx)
+        finally:
+            st.colors, st.depths, st.est_c2w, st.gt_c2w = orig
 
     def _extract_and_cull_mesh(self, path: str, upto: int) -> str:
         """Extract the current mesh and cull it with frames [0, upto)."""
@@ -836,10 +976,14 @@ class SLAMSystem:
         idx0 = buf[0][0]
         # jnp.stack: packets are already device-resident (staged by the
         # prefetch thread), so the group batch assembles on device.
-        px_i = jnp.stack([jnp.asarray(p.px_i) for _, p, _ in buf])
-        px_j = jnp.stack([jnp.asarray(p.px_j) for _, p, _ in buf])
-        px_color = jnp.stack([jnp.asarray(p.px_color) for _, p, _ in buf])
-        px_depth = jnp.stack([jnp.asarray(p.px_depth) for _, p, _ in buf])
+        px_i = self._put(jnp.stack([jnp.asarray(p.px_i)
+                                    for _, p, _ in buf]))
+        px_j = self._put(jnp.stack([jnp.asarray(p.px_j)
+                                    for _, p, _ in buf]))
+        px_color = self._put(jnp.stack([jnp.asarray(p.px_color)
+                                        for _, p, _ in buf]))
+        px_depth = self._put(jnp.stack([jnp.asarray(p.px_depth)
+                                        for _, p, _ in buf]))
         (self._est_dev, c2ws, loss_first, loss_best,
          iter_poses) = self.group_tracker(
             self._tracking_map, self._est_dev, jnp.int32(idx0),
@@ -875,8 +1019,8 @@ class SLAMSystem:
         (self._est_dev, c2w, loss_first, loss_best,
          iter_poses) = self.tracker(
             self._tracking_map, self._est_dev, jnp.int32(idx),
-            jnp.asarray(pkt.px_i), jnp.asarray(pkt.px_j),
-            jnp.asarray(pkt.px_color), jnp.asarray(pkt.px_depth),
+            self._stage_in(pkt.px_i), self._stage_in(pkt.px_j),
+            self._stage_in(pkt.px_color), self._stage_in(pkt.px_depth),
             self._next_key())
         self._maybe_track_vis(idx, pkt, c2w, iter_poses)
         dt = time.time() - t0
@@ -900,6 +1044,22 @@ class SLAMSystem:
         # Checkpoints hold the replicated standard-layout map; the banded
         # view re-derives lazily on the next mapped frame.
         self._map_banded = None
+        if self._repl is not None:
+            # load_checkpoint leaves process-LOCAL arrays (committed by
+            # its staging jits, which cannot be re-placed cross-process);
+            # round them through host numpy onto the global mesh.
+            import jax.tree_util as jtu
+
+            host = lambda t: jtu.tree_map(np.asarray, t)  # noqa: E731
+            self.map_state = self._put(host(self.map_state))
+            self._est_dev = self._put(np.asarray(self._est_dev))
+            st = self.store
+            st.colors, st.depths = host(st.colors), host(st.depths)
+            st.est_c2w = self._put(np.asarray(st.est_c2w))
+            st.gt_c2w = self._put(np.asarray(st.gt_c2w))
+            if self.kf_shards <= 1:
+                st.colors = self._put(st.colors)
+                st.depths = self._put(st.depths)
         if self.kf_shards > 1:
             self._place_store_sharded()
         if self.pipeline:
@@ -931,7 +1091,8 @@ class SLAMSystem:
         if self._opt_buf is None:
             self._opt_buf = self._mappers[True].jit_init(
                 {"map": self._mapper_state(),
-                 "poses": jnp.zeros((self.w_max, 7), jnp.float32)})
+                 "poses": self._put(jnp.zeros((self.w_max, 7),
+                                              jnp.float32))})
 
     def run(self, start_idx: int = 0, finalize: bool = True) -> None:
         """Drive the full tracking/mapping loop, then (by default) write
@@ -944,9 +1105,12 @@ class SLAMSystem:
             self.finalize()
 
     def run_loop(self, start_idx: int = 0) -> None:
+        # Cross-process: packets must stay HOST-side until _stage_in
+        # places them on the global mesh (a committed local device array
+        # cannot be re-placed across processes).
         prefetch = PacketPrefetcher(
             self.dataset, range(start_idx, self.n_img), self._make_packet,
-            stage=True)
+            stage=self._repl is None)
         self.warmup()
         t_start = time.time()
         for idx, pkt in prefetch:
@@ -962,7 +1126,7 @@ class SLAMSystem:
             deferred = False
             if idx == 0 or self.gt_camera:
                 self._est_dev = self._est_dev.at[idx].set(
-                    jnp.asarray(gt_c2w))
+                    self._stage_in(gt_c2w))
             elif self.group_tracker is not None:
                 # Tracking is deferred to the group flush at the next
                 # mapped frame; the map is frozen until then, so results
@@ -1035,13 +1199,18 @@ class SLAMSystem:
         # Final checkpoint (reference Mapper.py:437-438 saves at the last
         # frame; written here, outside the timed loop).
         if checkpoint and self.n_img > 0:
-            save_checkpoint(
+            self._checkpoint(
                 os.path.join(
                     self.output, "ckpts", f"{self.n_img - 1:05d}.npz"),
-                self, self.n_img - 1)
+                self.n_img - 1)
 
-        # Final mesh (reference Mapper.py:448-456).
-        if not mesh:
+        # Final mesh (reference Mapper.py:448-456).  Cross-process, the
+        # mesh comes from the full-state checkpoint on one host
+        # (tools/final_mesh) — the marching pipeline is an offline tool.
+        if not mesh or self._repl is not None:
+            if mesh and self.proc0:
+                print("final mesh: skipped in multi-process mode — run "
+                      "tools/final_mesh on the final checkpoint")
             self._metrics_f.flush()
             return
         name = "final_mesh_eval_rec.ply" if self.eval_rec else "final_mesh.ply"

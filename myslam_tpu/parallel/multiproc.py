@@ -245,6 +245,91 @@ def run_minislam(mode: str = "dp", frames: int = 6, seed: int = 0,
     return out
 
 
+def product_cfg(frames: int = 12, mode: str = "dp") -> dict:
+    """NON-toy config for the PRODUCT scheduler's cross-process parity
+    harness (VERDICT r4 item 1): 128x96 frames, the real chunked 15-iter
+    mapping schedule (iters_first=31 exercises multi-chunk + the masked
+    ragged tail), packed keyframe store, keyframe admission on, joint
+    BA once >4 keyframes."""
+    from myslam_tpu.utils.config import load_config, update_recursive
+
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    cfg = load_config(
+        os.path.join(repo, "configs", "Synthetic", "room_smoke.yaml"),
+        os.path.join(repo, "configs", "myslam.yaml"))
+    update_recursive(cfg, {
+        "data": {"n_frames": frames},
+        "cam": {"H": 96, "W": 128, "fx": 80.0, "fy": 80.0,
+                "cx": 63.5, "cy": 47.5},
+        "keyframe_device": "cpu",  # packed u8/u16 device store
+        # vis off in BOTH topologies (each panel consumes a PRNG key;
+        # multi-process runs disable vis uniformly, so the 1-process
+        # parity reference must too).
+        "tracking": {"pixels": 256, "iters": 8,
+                     "ignore_edge_W": 8, "ignore_edge_H": 8,
+                     "vis_freq": 10 ** 9},
+        "mapping": {"pixels": 512, "iters_first": 31, "iters": 15,
+                    "every_frame": 4, "keyframe_every": 4,
+                    "mapping_window_size": 6, "vis_freq": 10 ** 9},
+        "rendering": {"n_stratified": 24, "n_importance": 8},
+        "parallel": ({"devices": 0, "dp_impl": "shardmap"}
+                     if mode == "dp" else {"kf_shards": 0}),
+    })
+    return cfg
+
+
+def run_product(mode: str = "dp", frames: int = 12, seed: int = 0,
+                output: str | None = None, log=print) -> dict:
+    """Drive the PRODUCT SLAMSystem (run.py's own code path: fused
+    chunked mapping, in-program window selection, packed store, keyframe
+    admission, group tracking) over ALL global devices — across however
+    many OS processes jax.distributed wired together.
+
+    Returns replicated host results: {"est": (frames,4,4),
+    "map_losses": (sum_of_iters,), "map_sum": float, "beta": float}.
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from myslam_tpu.engine.scheduler import SLAMSystem
+
+    cfg = product_cfg(frames, mode)
+    out_dir = output or tempfile.mkdtemp(prefix=f"product_{mode}_")
+    slam = SLAMSystem(cfg, output=out_dir, seed=seed)
+    slam.mesh_freq = 10 ** 9  # meshing exercised elsewhere / offline
+    slam.ckpt_freq = 10 ** 9
+
+    map_losses: list[np.ndarray] = []
+    orig_map = slam._map_frame
+
+    def record_map(idx, pkt, first, cur_has_depthless):
+        rec = orig_map(idx, pkt, first, cur_has_depthless)
+        map_losses.append(rec["map_loss"][0])  # (iters,) replicated
+        return rec
+
+    slam._map_frame = record_map
+    slam.run(finalize=False)
+    # One checkpoint crossing the cross-process gather path (collective
+    # on every process; process 0 writes).
+    slam._checkpoint(os.path.join(out_dir, "ckpts", "final.npz"),
+                     slam.n_img - 1)
+    out = {
+        "est": slam.estimates,
+        "map_losses": np.concatenate(
+            [np.asarray(l) for l in map_losses]),
+        "map_sum": float(jnp.sum(jnp.abs(slam.map_state.sdf_atlas))),
+        "beta": float(slam.map_state.decoder["beta"][0]),
+    }
+    log(f"product[{mode}] over {len(jax.devices())} devices / "
+        f"{jax.process_count()} processes: "
+        f"final map loss {out['map_losses'][-1]:.4f}, "
+        f"ATE-proxy |t| {np.abs(out['est'][:, :3, 3]).max():.3f}")
+    return out
+
+
 def worker_main(argv=None) -> None:
     """Entry for one process of a cross-process run (CPU backend)."""
     import argparse
@@ -254,6 +339,7 @@ def worker_main(argv=None) -> None:
     p.add_argument("--nproc", type=int, required=True)
     p.add_argument("--coordinator", required=True)
     p.add_argument("--mode", default="dp", choices=("dp", "kf"))
+    p.add_argument("--loop", default="mini", choices=("mini", "product"))
     p.add_argument("--frames", type=int, default=6)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="")
@@ -268,11 +354,13 @@ def worker_main(argv=None) -> None:
 
     init_distributed(coordinator=args.coordinator,
                      num_processes=args.nproc, process_id=args.pid)
-    out = run_minislam(args.mode, frames=args.frames, seed=args.seed)
+    runner = run_product if args.loop == "product" else run_minislam
+    out = runner(args.mode, frames=args.frames, seed=args.seed)
     if args.out and jax.process_index() == 0:
         with open(args.out, "w") as f:
-            json.dump({k: np.asarray(v).tolist() for k, v in out.items()},
-                      f)
+            json.dump({k: (np.asarray(v).tolist()
+                           if isinstance(v, np.ndarray) else v)
+                       for k, v in out.items()}, f)
 
 
 def _free_port() -> int:
@@ -282,9 +370,11 @@ def _free_port() -> int:
 
 
 def launch(nproc: int, dev_per_proc: int, mode: str = "dp",
-           frames: int = 6, seed: int = 0, timeout: float = 900.0) -> dict:
-    """Spawn nproc OS processes running run_minislam over one global mesh
-    of nproc*dev_per_proc CPU devices; return process 0's results."""
+           frames: int = 6, seed: int = 0, timeout: float = 900.0,
+           loop: str = "mini") -> dict:
+    """Spawn nproc OS processes running the mini-loop (loop="mini") or
+    the PRODUCT SLAMSystem (loop="product") over one global mesh of
+    nproc*dev_per_proc CPU devices; return process 0's results."""
     import tempfile
 
     coord = f"127.0.0.1:{_free_port()}"
@@ -297,7 +387,7 @@ def launch(nproc: int, dev_per_proc: int, mode: str = "dp",
     for pid in range(nproc):
         cmd = [sys.executable, "-m", "myslam_tpu.parallel.multiproc",
                "--pid", str(pid), "--nproc", str(nproc),
-               "--coordinator", coord, "--mode", mode,
+               "--coordinator", coord, "--mode", mode, "--loop", loop,
                "--frames", str(frames), "--seed", str(seed)]
         if pid == 0:
             cmd += ["--out", outfile]
