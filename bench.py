@@ -3,10 +3,17 @@
 
 Runs the full tracking+mapping pipeline at the reference's Replica
 operating point (680x1200 RGB-D, 2000 tracking px x 8 iters, 4000 mapping
-px x 15 iters every 4th frame, 40 samples/ray) on real hardware, and
-prints ONE JSON line:
+px x 15 iters every 4th frame, 40 samples/ray) on real hardware, in BOTH
+math lanes by default —
 
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  * top-K color (the validated approximation the synthetic config opts
+    into, ``color_topk: 12``): the headline lane;
+  * reference-exact (color composited at every sample, exactly the
+    reference's math, src/utils/Renderer.py:139-147): ``color_topk: 0``
+
+— and prints ONE JSON line whose top-level fields are the headline
+(top-K) lane with the exact lane nested under ``"lanes"`` so the driver
+artifact records both fps/ATE pairs (VERDICT r4 item 4).
 
 `vs_baseline` compares against REFERENCE_FPS, the reference ESLAM's
 end-to-end Replica throughput. The repo publishes no numbers and CUDA is
@@ -22,31 +29,11 @@ import time
 import numpy as np
 
 REFERENCE_FPS = 5.5
+BASELINE_KIND = "estimate(paper, RTX3090-class)"
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--frames", type=int, default=120)
-    parser.add_argument("--warmup-frames", type=int, default=24,
-                        help="frames excluded from timing (jit compiles)")
-    parser.add_argument("--smoke", action="store_true",
-                        help="tiny fast configuration for quick checks")
-    parser.add_argument("--output", type=str, default="/tmp/myslam_bench")
-    parser.add_argument("--mesh", choices=("auto", "on", "off"),
-                        default="auto",
-                        help="final meshing after the metric line: auto "
-                        "skips it when the run paid a cold compile cache "
-                        "(the metric is already printed either way)")
-    parser.add_argument("--cold-threshold-s", type=float, default=90.0,
-                        help="frame-0 wall above this means cold cache")
-    parser.add_argument("--exact", action="store_true",
-                        help="reference-exact math lane: color composited "
-                        "at every sample (color_topk 0, like the reference "
-                        "src/utils/Renderer.py:139-147) instead of the "
-                        "validated top-K approximation the synthetic "
-                        "config opts into")
-    args = parser.parse_args()
-
+def run_lane(args, exact: bool, seed: int = 0):
+    """One full SLAM run in the given math lane; returns (record, slam)."""
     import os
     repo = os.path.dirname(os.path.abspath(__file__))
     from myslam_tpu.engine.scheduler import SLAMSystem
@@ -57,10 +44,15 @@ def main():
         os.path.join(repo, "configs", "Synthetic", scene_cfg),
         os.path.join(repo, "configs", "myslam.yaml"))
     cfg["data"]["n_frames"] = args.frames
-    if args.exact:
+    if exact:
         cfg["rendering"]["color_topk"] = 0
+    if getattr(args, "topk", -1) >= 0 and not exact:
+        # Investigation override (e.g. K=39 ~ exact math via the top-K
+        # code path — the PERF.md lane-bisect): not a driver lane.
+        cfg["rendering"]["color_topk"] = args.topk
 
-    slam = SLAMSystem(cfg, output=args.output, seed=0)
+    out = args.output + ("_exact" if exact else "")
+    slam = SLAMSystem(cfg, output=out, seed=seed)
     # Empty the device queue at the warmup boundary so the steady window
     # holds no backlog from the (intentionally heavy) first-frame mapping.
     slam.sync_after_frame = args.warmup_frames - 1
@@ -87,30 +79,80 @@ def main():
     t_err = np.linalg.norm(
         slam.estimates[1:, :3, 3] - slam.gt_poses[1:, :3, 3], axis=-1)
     ate_rmse_cm = float(np.sqrt(np.mean(t_err ** 2)) * 100)
-
     frame0_wall = float(times[0]) if len(times) else 0.0
-    cold = frame0_wall > args.cold_threshold_s
-    do_mesh = args.mesh == "on" or (args.mesh == "auto" and not cold)
 
-    print(json.dumps({
-        "metric": ("synthetic_room_e2e_frames_per_s_exact" if args.exact
-                   else "synthetic_room_e2e_frames_per_s"),
-        "math": ("reference-exact (color_topk 0)" if args.exact
+    rec = {
+        "math": ("reference-exact (color_topk 0)" if exact
                  else "top-K color (validated approximation)"),
         "value": round(float(fps), 3),
         "unit": "frames/s",
         # REFERENCE_FPS is a paper-derived ESTIMATE (CUDA is unavailable
         # here so the reference cannot be measured); see module docstring.
         "vs_baseline": round(float(fps) / REFERENCE_FPS, 3),
-        "baseline_kind": "estimate(paper, RTX3090-class)",
+        "baseline_kind": BASELINE_KIND,
         "ate_rmse_cm": round(ate_rmse_cm, 3),
         "frames": len(times),
         "wall_s": round(wall, 1),
         "frame0_wall_s": round(frame0_wall, 1),
         "compile_backend_s": round(float(slam.compile_secs), 1),
-        "cache": "cold" if cold else "warm",
-        "final_mesh": "pending" if do_mesh else "skipped(cold-cache)",
-    }), flush=True)
+        "cache": ("cold" if frame0_wall > args.cold_threshold_s
+                  else "warm"),
+    }
+    return rec, slam
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=120)
+    parser.add_argument("--warmup-frames", type=int, default=24,
+                        help="frames excluded from timing (jit compiles)")
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny fast configuration for quick checks")
+    parser.add_argument("--output", type=str, default="/tmp/myslam_bench")
+    parser.add_argument("--mesh", choices=("auto", "on", "off"),
+                        default="auto",
+                        help="final meshing after the metric line: auto "
+                        "skips it when the run paid a cold compile cache "
+                        "(the metric is already printed either way)")
+    parser.add_argument("--cold-threshold-s", type=float, default=90.0,
+                        help="frame-0 wall above this means cold cache")
+    parser.add_argument("--lanes", choices=("both", "topk", "exact"),
+                        default="both",
+                        help="math lanes to run; 'both' (default) nests "
+                        "the reference-exact lane's numbers under the "
+                        "top-K headline in the one JSON line")
+    parser.add_argument("--exact", action="store_true",
+                        help="alias for --lanes exact (reference-exact "
+                        "math only)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--topk", type=int, default=-1,
+                        help="override rendering.color_topk for the "
+                        "top-K lane (investigation only)")
+    args = parser.parse_args()
+    if args.exact:
+        args.lanes = "exact"
+
+    headline_exact = args.lanes == "exact"
+    rec, slam = run_lane(args, exact=headline_exact, seed=args.seed)
+    lanes = {("exact" if headline_exact else "topk"): dict(rec)}
+    if args.lanes == "both":
+        rec2, slam2 = run_lane(args, exact=True, seed=args.seed)
+        lanes["exact"] = rec2
+        del slam2  # headline (top-K) run owns finalization
+
+    cold = rec["cache"] == "cold"
+    do_mesh = args.mesh == "on" or (args.mesh == "auto" and not cold)
+    line = {
+        "metric": ("synthetic_room_e2e_frames_per_s_exact"
+                   if headline_exact
+                   else "synthetic_room_e2e_frames_per_s"),
+        **rec,
+        "lanes": lanes,
+        "final_mesh": ("pending" if do_mesh else
+                       "skipped(cold-cache)" if args.mesh == "auto"
+                       else "skipped(--mesh off)"),
+    }
+    print(json.dumps(line), flush=True)
 
     # Finalization (checkpoint + mesh) AFTER the metric line; its output
     # goes to stderr so the metric stays the only stdout line.
@@ -135,8 +177,9 @@ def main():
             if not healthy:
                 print("D2H link degraded: skipping final checkpoint "
                       "and mesh (metric line already emitted)")
+            t1 = time.time()
             slam.finalize(mesh=do_mesh and healthy, checkpoint=healthy)
-            print(f"finalize done ({time.time() - t0 - wall:.1f} s)")
+            print(f"finalize done ({time.time() - t1:.1f} s)")
         except Exception:
             import traceback
             traceback.print_exc()
