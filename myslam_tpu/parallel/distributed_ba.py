@@ -73,7 +73,7 @@ def shard_keyframes(mesh: Mesh, kf_colors, kf_depths, axis: str = "kf"):
 
 
 def make_local_ray_picker(cam, n_rays: int, kf_axis: str,
-                          packed: bool = False):
+                          packed: bool = False, dp_axis: str | None = None):
     """Per-shard ray draw from the window slots this shard owns.
 
     Returns pick(slot_kf (W,), n_slots, kf_depths_l, kf_colors_l, key)
@@ -85,6 +85,12 @@ def make_local_ray_picker(cam, n_rays: int, kf_axis: str,
 
     ``packed``: local buffers are the quantized store (u8 color;
     depths = (u16, inv_q) pytree) — sampled pixels dequantize here.
+
+    ``dp_axis``: kf x ray-DP composition — imagery is sharded over
+    ``kf_axis`` only (replicated along ``dp_axis``), and the kf row's
+    ray budget splits over the dp columns by folding the dp index into
+    the pixel draw (distinct i.i.d. pixels per column, same owned
+    slots).  The psums then reduce over BOTH axes.
     """
     HW = cam.H * cam.W
 
@@ -100,7 +106,11 @@ def make_local_ray_picker(cam, n_rays: int, kf_axis: str,
         valid = k_own > 0
         local_slot = (slot_kf % cap_l)[p]
 
-        ki, kj = jax.random.split(jax.random.fold_in(key, me))
+        k_draw = jax.random.fold_in(key, me)
+        if dp_axis is not None:
+            k_draw = jax.random.fold_in(
+                k_draw, jax.lax.axis_index(dp_axis))
+        ki, kj = jax.random.split(k_draw)
         i = jax.random.randint(ki, (n_rays,), 0, cam.W).astype(jnp.float32)
         j = jax.random.randint(kj, (n_rays,), 0, cam.H).astype(jnp.float32)
         flat = (local_slot * HW + j.astype(jnp.int32) * cam.W
@@ -387,6 +397,14 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
     This is the product wiring of the library-level make_distributed_ba
     (VERDICT r1 item 1); the reference's counterpart is the whole
     2-process design (src/ESLAM.py:246-260).
+
+    kf x ray-DP composition (VERDICT r4 item 5): pass a TWO-axis mesh
+    ('kf', 'dp') — imagery shards over 'kf' only; each kf row's ray
+    budget further splits over its 'dp' columns (distinct pixel draws
+    per column via key folding), and every loss/gradient/pose psum
+    reduces over BOTH axes.  This lifts pure ray-DP's gradient-ring
+    saturation point: the per-device ray work divides by kf*dp while
+    the slot ownership (and thus imagery locality) stays kf-only.
     """
     from myslam_tpu.core.quaternion import matrix_to_cam_pose
     from myslam_tpu.render.renderer import (
@@ -396,8 +414,11 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
     )
 
     m = cfg["mapping"]
+    dp_axis = "dp" if "dp" in mesh.axis_names else None
+    red_axes = (kf_axis,) if dp_axis is None else (kf_axis, dp_axis)
     n_shards = mesh.shape[kf_axis]
-    n_rays = max(int(m["pixels"]) // n_shards, 1)
+    n_dp = mesh.shape[dp_axis] if dp_axis is not None else 1
+    n_rays = max(int(m["pixels"]) // (n_shards * n_dp), 1)
     w_color, w_depth = float(m["w_color"]), float(m["w_depth"])
     w_fs, w_center, w_tail = (
         float(m["w_sdf_fs"]), float(m["w_sdf_center"]), float(m["w_sdf_tail"]))
@@ -434,12 +455,13 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
         },
         label_tree,
     )
-    pick_rays = make_local_ray_picker(cam, n_rays, kf_axis, packed=packed)
+    pick_rays = make_local_ray_picker(cam, n_rays, kf_axis, packed=packed,
+                                  dp_axis=dp_axis)
 
     def dmean(x, mask):
         mk = mask.astype(x.dtype)
-        s = jax.lax.psum(jnp.sum(x * mk), kf_axis)
-        c = jax.lax.psum(jnp.sum(mk), kf_axis)
+        s = jax.lax.psum(jnp.sum(x * mk), red_axes)
+        c = jax.lax.psum(jnp.sum(mk), red_axes)
         return s / jnp.maximum(c, 1.0)
 
     def loss_fn(params, pose_mask, p, i, j, px_depth, px_color, valid, key):
@@ -523,7 +545,7 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
         W = poses.shape[0]
         H = jnp.zeros((W, 7, 7)).at[p].add(jnp.einsum("rij,rik->rjk", J, J))
         g = jnp.zeros((W, 7)).at[p].add(jnp.einsum("rij,ri->rj", J, r))
-        return jax.lax.psum(H, kf_axis), jax.lax.psum(g, kf_axis)
+        return jax.lax.psum(H, red_axes), jax.lax.psum(g, red_axes)
 
     def make_ba_scan(chunk: int):
         def ba_scan(params, opt_state, sel, kf_colors_l, kf_depths_l, key,
@@ -565,7 +587,7 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
                     k_z)
                 # Per-shard partials -> exact global gradient (see
                 # make_distributed_ba's ba_local note).
-                grads = jax.lax.psum(grads, kf_axis)
+                grads = jax.lax.psum(grads, red_axes)
                 updates, opt_state = optimizer.update(
                     grads, opt_state, params)
                 updates = {
