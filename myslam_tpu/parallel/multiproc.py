@@ -330,6 +330,131 @@ def run_product(mode: str = "dp", frames: int = 12, seed: int = 0,
     return out
 
 
+def run_bigstep(mode: str = "dp", frames: int = 3, seed: int = 0,
+                log=print) -> dict:
+    """Cross-process execution at the REAL Replica operating point
+    (VERDICT r4 item 7): 680x1200 imagery, 4000 rays x 15-iter chunks,
+    full room-scale atlases, w_max-slot packed store — the regime where
+    gloo payload sizes and per-process placement could surprise where
+    the 48x64 toy cannot.  ``frames`` counts mapped-frame programs run
+    (first is compile+warmup, rest timed).  Returns
+    {"chunk_s": [...], "rss_mb": float}.
+    """
+    import resource
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from myslam_tpu.core.quaternion import matrix_to_cam_pose
+    from myslam_tpu.engine.camera import Camera
+    from myslam_tpu.engine.scheduler import compute_bound
+    from myslam_tpu.models.decoders import init_decoder_params
+    from myslam_tpu.models.planes import init_map_state, make_layout
+    from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    cfg = load_config(
+        os.path.join(repo, "configs", "Synthetic", "room.yaml"),
+        DEFAULT_CONFIG)
+    cfg["cam"].update(H=680, W=1200, fx=600.0, fy=600.0,
+                      cx=599.5, cy=339.5)
+    cfg["mapping"]["pixels"] = 4000
+    cam = Camera.from_cfg(cfg)
+    bound = compute_bound(cfg)
+    c = int(cfg["model"]["c_dim"])
+    pres, cres = cfg["planes_res"], cfg["c_planes_res"]
+    sdf_layout = make_layout(bound, [pres["coarse"], pres["fine"]], c)
+    color_layout = make_layout(bound, [cres["coarse"], cres["fine"]], c)
+    from myslam_tpu.render.renderer import SceneGeometry
+    r = cfg["rendering"]
+    scene = SceneGeometry(
+        sdf_layout, color_layout, tuple(map(tuple, bound.tolist())),
+        float(cfg["model"]["truncation"]), int(r["n_stratified"]),
+        int(r["n_importance"]), bool(r["perturb"]),
+        color_topk=int(r.get("color_topk", 0)))
+
+    devs = jax.devices()
+    axis = "dp" if mode == "dp" else "kf"
+    mesh = Mesh(np.array(devs), (axis,))
+    repl = NamedSharding(mesh, P())
+    key = jax.random.PRNGKey(seed)
+    ms = jax.device_put(
+        init_map_state(key, sdf_layout, color_layout,
+                       init_decoder_params(key, c_dim=c)), repl)
+
+    w_max = 8  # full-res slots: 8 x ~4 MB packed imagery
+    cap = ((w_max + len(devs) - 1) // len(devs)) * len(devs)
+    rng = np.random.default_rng(seed)
+    col_np = rng.integers(0, 255, (cap, cam.H, cam.W, 3), np.uint8)
+    dep_np = rng.integers(1000, 30000, (cap, cam.H, cam.W), np.uint16)
+    inv_q_np = np.full((cap,), 1.0 / 6553.5, np.float32)
+    center = bound.mean(axis=1)
+    c2ws = np.tile(np.eye(4, dtype=np.float32), (w_max, 1, 1))
+    c2ws[:, :3, 3] = center
+    poses = jax.device_put(matrix_to_cam_pose(jnp.asarray(c2ws)), repl)
+    pose_mask = jax.device_put(
+        jnp.ones((w_max,)).at[0].set(0.0), repl)
+    slot_kf = jax.device_put(jnp.arange(w_max, dtype=jnp.int32), repl)
+
+    if mode == "dp":
+        from myslam_tpu.engine.mapper import make_mapper
+        kf_c = jax.device_put(col_np, repl)
+        kf_d = (jax.device_put(dep_np, repl),
+                jax.device_put(inv_q_np, repl))
+        step = make_mapper(cfg, scene, cam, dp_mesh=mesh, importance=False)
+        # packed=True path lives in the frame mapper; the bare mapper
+        # takes float imagery — dequantize once for this harness.
+        kf_c = jax.jit(
+            lambda u8: (u8.astype(jnp.float32) / 255.0).astype(
+                jnp.float16))(kf_c)
+        kf_d = jax.jit(lambda u16, q: u16.astype(jnp.float32)
+                       * q[:, None, None])(*kf_d)
+    else:
+        from myslam_tpu.parallel.distributed_ba import (
+            make_distributed_ba, kf_sharding)
+        sh = kf_sharding(mesh)
+        from myslam_tpu.parallel.distributed import host_shard
+        lo, hi = host_shard(cap)
+        kf_c = jax.make_array_from_process_local_data(
+            sh, (col_np[lo:hi].astype(np.float16) / 255.0),
+            (cap, cam.H, cam.W, 3))
+        kf_d = jax.make_array_from_process_local_data(
+            sh, dep_np[lo:hi].astype(np.float32) * inv_q_np[0],
+            (cap, cam.H, cam.W))
+        ba = make_distributed_ba(cfg, scene, cam, mesh,
+                                 iters=int(cfg["mapping"]["iters"]),
+                                 pose_solver="adam")
+
+    chunk_s = []
+    for f in range(frames):
+        t0 = time.time()
+        k = jax.random.fold_in(key, f)
+        if mode == "dp":
+            ms, poses_out, losses = step(
+                ms, poses, pose_mask, slot_kf, jnp.int32(w_max),
+                kf_c, kf_d, k, iters=int(cfg["mapping"]["iters"]),
+                lr_factor=1.0)
+        else:
+            ms, poses_out, losses = ba(
+                ms, poses, pose_mask, slot_kf, jnp.int32(w_max),
+                kf_c, kf_d, k)
+        lv = np.asarray(losses)  # value fetch = real barrier
+        assert np.isfinite(lv).all()
+        chunk_s.append(time.time() - t0)
+    rss_mb = resource.getrusage(
+        resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    out = {"chunk_s": chunk_s, "rss_mb": rss_mb}
+    log(f"bigstep[{mode}] {len(devs)} devices / "
+        f"{jax.process_count()} processes: compile+first "
+        f"{chunk_s[0]:.1f} s, steady "
+        f"{np.mean(chunk_s[1:]):.1f} s/15-iter chunk, peak RSS "
+        f"{rss_mb:.0f} MB/process")
+    return out
+
+
 def worker_main(argv=None) -> None:
     """Entry for one process of a cross-process run (CPU backend)."""
     import argparse
@@ -339,7 +464,8 @@ def worker_main(argv=None) -> None:
     p.add_argument("--nproc", type=int, required=True)
     p.add_argument("--coordinator", required=True)
     p.add_argument("--mode", default="dp", choices=("dp", "kf"))
-    p.add_argument("--loop", default="mini", choices=("mini", "product"))
+    p.add_argument("--loop", default="mini",
+                   choices=("mini", "product", "bigstep"))
     p.add_argument("--frames", type=int, default=6)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="")
@@ -354,7 +480,8 @@ def worker_main(argv=None) -> None:
 
     init_distributed(coordinator=args.coordinator,
                      num_processes=args.nproc, process_id=args.pid)
-    runner = run_product if args.loop == "product" else run_minislam
+    runner = {"mini": run_minislam, "product": run_product,
+              "bigstep": run_bigstep}[args.loop]
     out = runner(args.mode, frames=args.frames, seed=args.seed)
     if args.out and jax.process_index() == 0:
         with open(args.out, "w") as f:
