@@ -23,6 +23,7 @@ import argparse
 import os
 import re
 import sys
+import time
 
 import numpy as np
 from scipy.spatial import cKDTree as KDTree
@@ -195,7 +196,8 @@ def calc_2d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
     ext, box2world = _get_cam_position(gv)
     up = np.array([0.0, 0.0, -1.0])
     err_sum = jnp.float32(0.0)
-    for _ in range(n_imgs):
+    t0 = time.time()
+    for v in range(n_imgs):
         for _attempt in range(100):
             o_box = rng.uniform(-0.5, 0.5, 3) * ext
             origin = box2world[:3, :3] @ o_box + box2world[:3, 3]
@@ -205,6 +207,13 @@ def calc_2d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
                     pc_unseen, W, H, fx, fy, cx, cy, c2w):
                 break
         err_sum = err_sum + view_err(np.linalg.inv(c2w))
+        if (v + 1) % 100 == 0:
+            # One blocking fetch per 100 views: progress visibility for
+            # the ~2000-render protocol at negligible cost.
+            print(f"2-D views {v + 1}/{n_imgs} "
+                  f"(running depth-L1 {float(err_sum) / (v + 1) * 100:.3f}"
+                  f" cm, {time.time() - t0:.0f} s)", file=sys.stderr,
+                  flush=True)
     return {"depth_l1_cm": float(err_sum) / n_imgs * 100}
 
 

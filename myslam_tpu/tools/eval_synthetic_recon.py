@@ -58,7 +58,16 @@ def main():
             "ship GT meshes (scripts/download_replica_mesh.sh) — use "
             "tools/cull_mesh + tools/eval_recon directly.")
 
+    import sys
+    import time
+
+    def phase(msg):
+        print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
     wd = args.workdir or tempfile.mkdtemp(prefix="synth_recon_")
+    os.makedirs(wd, exist_ok=True)
+    phase(f"GT mesh at {args.resolution} m ...")
     gt_path = dataset.save_gt_mesh(
         os.path.join(wd, "gt_mesh.ply"), resolution=args.resolution)
 
@@ -66,11 +75,15 @@ def main():
         return ((d, p) for _, (c, d, p)
                 in Prefetcher(dataset, range(len(dataset))))
 
+    phase(f"culling rec mesh with {len(dataset)} frames ...")
     rec_culled = cull_mesh(args.rec_mesh, cfg, frames(),
                            out_file=os.path.join(wd, "rec_eval_rec.ply"))
+    phase("culling GT mesh ...")
     gt_culled = cull_mesh(gt_path, cfg, frames(),
                           out_file=os.path.join(wd, "gt_eval_rec.ply"))
+    phase("3-D metrics (KDTree) ...")
     result = calc_3d_metric(rec_culled, gt_culled)
+    phase(f"3-D done: {result}")
 
     if args.metric_2d:
         # The reference ships *_pc_unseen.npy per scene (README.md:
@@ -80,12 +93,15 @@ def main():
         # same visibility the culling computes).
         from myslam_tpu.utils.ply import read_ply
 
+        phase("deriving unseen point set (visibility pass) ...")
         gv, _, _ = read_ply(gt_path)
         seen = vertex_visibility(gv, cfg, frames())
         pc_unseen = np.asarray(gv)[~seen]
         unseen_path = os.path.join(wd, "gt_pc_unseen.npy")
         np.save(unseen_path, pc_unseen)
         result["unseen_points"] = int(len(pc_unseen))
+        phase(f"2-D depth-L1 over {args.n_views} views "
+              f"({len(pc_unseen)} unseen pts) ...")
         result.update(calc_2d_metric(rec_culled, gt_culled,
                                      n_imgs=args.n_views))
     print(json.dumps({"workdir": wd, **result}))
