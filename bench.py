@@ -41,6 +41,7 @@ def run_lane(args, exact: bool, seed: int = 0):
 
     scene_cfg = ("room_smoke.yaml" if args.smoke else "room.yaml")
     cfg = load_config(
+        getattr(args, "config", None) or
         os.path.join(repo, "configs", "Synthetic", scene_cfg),
         os.path.join(repo, "configs", "myslam.yaml"))
     cfg["data"]["n_frames"] = args.frames
@@ -128,6 +129,9 @@ def main():
     parser.add_argument("--topk", type=int, default=-1,
                         help="override rendering.color_topk for the "
                         "top-K lane (investigation only)")
+    parser.add_argument("--config", type=str, default=None,
+                        help="alternate scene yaml (e.g. a TUM-schedule "
+                        "synthetic lane); default Synthetic/room[_smoke]")
     args = parser.parse_args()
     if args.exact:
         args.lanes = "exact"
