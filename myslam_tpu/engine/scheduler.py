@@ -1115,6 +1115,7 @@ class SLAMSystem:
         t_start = time.time()
         for idx, pkt in prefetch:
             t_frame = time.time()
+            self._beat(idx)
             # Wall timestamp at each frame's start: dispatch is async, so
             # per-frame host times under-report device work — window-level
             # throughput must be measured start-of-window to drain-end.
@@ -1171,6 +1172,36 @@ class SLAMSystem:
         self._drain_barrier()
         self.drain_wall = time.time()
         self._flush_metrics()
+
+    def _beat(self, idx: int) -> None:
+        """Liveness heartbeat + (test-only) fault injection.
+
+        The supervisor (``run.py --supervise``) watches
+        ``<output>/HEARTBEAT``'s mtime for hang detection — one tiny
+        host write per frame, refreshed by process 0 (the host loop is
+        synchronous across processes, so a stalled worker stalls this
+        file too).  ``MYSLAM_FAULT_KILL="<frame>[:procid]"`` hard-kills
+        the named process ONCE at the given frame (a marker file in the
+        output dir keeps the restarted run alive) — the deterministic
+        fault hook the auto-restart e2e test drives."""
+        if self.proc0:
+            try:
+                with open(os.path.join(self.output, "HEARTBEAT"),
+                          "w") as f:
+                    f.write(f"{idx} {time.time()}\n")
+            except OSError:
+                pass
+        fault = os.environ.get("MYSLAM_FAULT_KILL")
+        if fault:
+            parts = fault.split(":")
+            f_idx = int(parts[0])
+            f_proc = int(parts[1]) if len(parts) > 1 else 0
+            marker = os.path.join(self.output, "FAULT_INJECTED")
+            if (idx >= f_idx and jax.process_index() == f_proc
+                    and not os.path.exists(marker)):
+                with open(marker, "w") as f:
+                    f.write(f"{idx}\n")
+                os._exit(21)
 
     def _drain_barrier(self) -> None:
         """Wait until ALL queued device work is complete.

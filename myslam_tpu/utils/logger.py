@@ -54,8 +54,13 @@ def save_checkpoint(path: str, slam, idx: int) -> str:
         inv_q = np.float32(1.0 / dq)
     # Uncompressed npz: zlib over the (mostly incompressible) imagery
     # costs seconds per save on a 2-core host for <2x size.
+    # CRASH-ATOMIC: a SIGKILL mid-write must never leave a truncated
+    # file where latest_checkpoint would find it (the auto-restart
+    # supervisor resumes from the newest checkpoint unconditionally) —
+    # write to a .tmp sibling, fsync, then rename into place.
+    tmp = path + ".tmp.npz"
     np.savez(
-        path,
+        tmp,
         idx=idx,
         sdf_atlas=np.asarray(slam.map_state.sdf_atlas),
         color_atlas=np.asarray(slam.map_state.color_atlas),
@@ -73,6 +78,9 @@ def save_checkpoint(path: str, slam, idx: int) -> str:
         rng_key=np.asarray(slam.key),
         allow_pickle=True,
     )
+    with open(tmp, "rb") as f:
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     return path
 
 
@@ -145,5 +153,6 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
     if not os.path.isdir(ckpt_dir):
         return None
     ckpts = sorted(
-        f for f in os.listdir(ckpt_dir) if f.endswith(".npz"))
+        f for f in os.listdir(ckpt_dir)
+        if f.endswith(".npz") and not f.endswith(".tmp.npz"))
     return os.path.join(ckpt_dir, ckpts[-1]) if ckpts else None

@@ -51,7 +51,24 @@ def main():
                          "CPU mesh and wait (validation harness)")
     mp.add_argument("--devices-per-proc", type=int, default=2,
                     help="virtual CPU devices per worker under --launch")
+    sup = parser.add_argument_group("failure detection / auto-restart")
+    sup.add_argument("--supervise", action="store_true",
+                     help="run the job under a supervisor: detect "
+                          "worker death (any gang member's) or a "
+                          "stalled heartbeat and auto-restart from the "
+                          "newest checkpoint (--resume semantics)")
+    sup.add_argument("--max-restarts", type=int, default=3,
+                     help="bounded restarts before the supervisor "
+                          "gives up (default 3)")
+    sup.add_argument("--hang-timeout", type=float, default=0.0,
+                     help="seconds without HEARTBEAT progress before "
+                          "the job is declared hung and restarted "
+                          "(0 = exit-code detection only; allow for "
+                          "frame-0 compile time when setting this)")
     args = parser.parse_args()
+
+    if args.supervise:
+        sys.exit(supervise(args))
 
     if os.environ.get("MYSLAM_FORCE_CPU") == "1":
         # Subprocess-test escape: this image's site hook pre-registers
@@ -98,8 +115,16 @@ def main():
 
 def launch_local(args) -> int:
     """Spawn args.launch worker run.py processes over one global CPU
-    mesh (args.launch * args.devices_per_proc virtual devices); wait."""
+    mesh (args.launch * args.devices_per_proc virtual devices); wait.
+
+    Failure DETECTION (SURVEY §5.3): a gang member dying mid-run leaves
+    the survivors blocked in a gloo collective forever — so the
+    launcher polls the gang, and on the first abnormal exit kills the
+    rest and returns that worker's rc (the supervisor above turns the
+    nonzero rc into a whole-gang restart from the newest checkpoint).
+    """
     import socket
+    import time
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -120,10 +145,111 @@ def launch_local(args) -> int:
         base += ["--resume"]
     procs = [subprocess.Popen(base + ["--procid", str(pid)], env=env)
              for pid in range(args.launch)]
+    live = list(procs)
     rc = 0
-    for pr in procs:
-        rc = pr.wait() or rc
+    while live:
+        for pr in list(live):
+            prc = pr.poll()
+            if prc is None:
+                continue
+            live.remove(pr)
+            if prc != 0:
+                rc = rc or prc
+                if live:
+                    print(f"LAUNCH: worker died (rc={prc}) — killing "
+                          f"the remaining {len(live)} gang member(s)",
+                          flush=True)
+                for other in live:
+                    other.kill()
+                for other in live:
+                    other.wait()
+                return rc
+        time.sleep(0.2)
     return rc
+
+
+def _output_dir(args) -> str:
+    if args.output:
+        return args.output
+    from myslam_tpu.utils.config import DEFAULT_CONFIG, load_config
+
+    return load_config(args.config, DEFAULT_CONFIG)["data"]["output"]
+
+
+def supervise(args) -> int:
+    """Failure detection + bounded auto-restart (SURVEY §5.3).
+
+    Runs the job (single worker, or the --launch N gang) as a child
+    process group and detects failure two ways: abnormal exit (any gang
+    member's death — launch_local kills the survivors and surfaces the
+    rc) and a stalled ``<output>/HEARTBEAT`` file (--hang-timeout; the
+    scheduler refreshes it every frame).  On failure the whole job is
+    restarted from the newest checkpoint via --resume, up to
+    --max-restarts times.  Crash-loss window: up to mapping.ckpt_freq
+    mapped frames of map state (checkpoints are crash-atomic — tmp +
+    rename — so a kill mid-write cannot corrupt the resume source, and
+    resume is trajectory-exact: tests/test_resume_kill.py).  Real
+    multi-host jobs run one supervisor per host under the cluster's
+    gang scheduler with the same semantics (whole-gang restart from the
+    newest checkpoint); elastic shrink is out of scope by design — the
+    kf/dp meshes are shape-static per job size.
+    """
+    import signal
+    import time
+
+    hb = os.path.join(_output_dir(args), "HEARTBEAT")
+    base = [sys.executable, os.path.abspath(__file__), args.config,
+            "--seed", str(args.seed)]
+    if args.input_folder:
+        base += ["--input_folder", args.input_folder]
+    if args.output:
+        base += ["--output", args.output]
+    if args.launch > 1:
+        base += ["--launch", str(args.launch),
+                 "--devices-per-proc", str(args.devices_per_proc)]
+
+    restarts = 0
+    while True:
+        resume = args.resume or restarts > 0
+        child = subprocess.Popen(base + (["--resume"] if resume else []),
+                                 start_new_session=True)
+        t_start = time.time()
+        hung = False
+        while True:
+            rc = child.poll()
+            if rc is not None:
+                break
+            if args.hang_timeout > 0:
+                try:
+                    last = os.path.getmtime(hb)
+                except OSError:
+                    last = t_start
+                if time.time() - max(last, t_start) > args.hang_timeout:
+                    hung = True
+                    print("SUPERVISOR: no heartbeat for "
+                          f"{args.hang_timeout:.0f}s — killing the job",
+                          flush=True)
+                    try:
+                        os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+                    except (ProcessLookupError, PermissionError):
+                        child.kill()
+                    rc = child.wait()
+                    break
+            time.sleep(0.5)
+        if rc == 0 and not hung:
+            if restarts:
+                print(f"SUPERVISOR: completed after {restarts} "
+                      "restart(s)", flush=True)
+            return 0
+        if restarts >= args.max_restarts:
+            print(f"SUPERVISOR: giving up after {restarts} restart(s) "
+                  f"(rc={rc})", flush=True)
+            return rc or 1
+        restarts += 1
+        kind = "hung" if hung else f"died (rc={rc})"
+        print(f"SUPERVISOR: job {kind} — restart "
+              f"{restarts}/{args.max_restarts} from the newest "
+              "checkpoint", flush=True)
 
 
 if __name__ == "__main__":
