@@ -47,10 +47,15 @@ def run_lane(args, exact: bool, seed: int = 0):
     cfg["data"]["n_frames"] = args.frames
     if exact:
         cfg["rendering"]["color_topk"] = 0
+        # The exact lane is the reference's math end-to-end: f32 map
+        # reads too (--map-bf16 can re-enable for investigation).
+        cfg["mapping"]["map_bf16"] = False
     if getattr(args, "topk", -1) >= 0 and not exact:
         # Investigation override (e.g. K=39 ~ exact math via the top-K
         # code path — the PERF.md lane-bisect): not a driver lane.
         cfg["rendering"]["color_topk"] = args.topk
+    if getattr(args, "map_bf16", False):
+        cfg["mapping"]["map_bf16"] = True
 
     out = args.output + ("_exact" if exact else "")
     slam = SLAMSystem(cfg, output=out, seed=seed)
@@ -126,6 +131,9 @@ def main():
                         help="alias for --lanes exact (reference-exact "
                         "math only)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--map-bf16", action="store_true",
+                        help="bf16 quad-atlas reads in the mapping step "
+                             "(mapping.map_bf16) — A/B lane, see PERF.md")
     parser.add_argument("--topk", type=int, default=-1,
                         help="override rendering.color_topk for the "
                         "top-K lane (investigation only)")
@@ -137,12 +145,45 @@ def main():
         args.lanes = "exact"
 
     headline_exact = args.lanes == "exact"
-    rec, slam = run_lane(args, exact=headline_exact, seed=args.seed)
-    lanes = {("exact" if headline_exact else "topk"): dict(rec)}
+    lanes = {}
     if args.lanes == "both":
-        rec2, slam2 = run_lane(args, exact=True, seed=args.seed)
-        lanes["exact"] = rec2
-        del slam2  # headline (top-K) run owns finalization
+        # The exact lane runs FIRST, in its own subprocess, BEFORE this
+        # process touches the TPU.  Measured r5: a long run sharing the
+        # remote worker with another live client reads ~25 % slow
+        # (exact 4.8-4.9 fps when the top-K lane's process was still
+        # alive — in-process second lane OR concurrent subprocess —
+        # vs 6.50 reproducibly in a fresh process with the previous
+        # client exited; the 3-seed studies' sequential processes all
+        # read healthy for the same reason).  Sequential isolation with
+        # the parent not yet attached makes the nested number identical
+        # to a standalone run.
+        import os
+        import subprocess
+        import sys
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--lanes", "exact", "--mesh", "off",
+               "--frames", str(args.frames),
+               "--warmup-frames", str(args.warmup_frames),
+               "--seed", str(args.seed),
+               "--output", args.output + "_exactlane"]
+        if args.smoke:
+            cmd.append("--smoke")
+        if args.config:
+            cmd += ["--config", args.config]
+        try:
+            out = subprocess.run(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, timeout=1800).stdout
+            rec2 = next(json.loads(ln) for ln in out.splitlines()
+                        if ln.startswith("{"))
+            rec2.pop("lanes", None)
+            rec2.pop("metric", None)
+            rec2.pop("final_mesh", None)
+            lanes["exact"] = rec2
+        except Exception as e:  # the headline lane must survive
+            lanes["exact"] = {"error": repr(e)}
+    rec, slam = run_lane(args, exact=headline_exact, seed=args.seed)
+    lanes[("exact" if headline_exact else "topk")] = dict(rec)
 
     cold = rec["cache"] == "cold"
     do_mesh = args.mesh == "on" or (args.mesh == "auto" and not cold)

@@ -125,8 +125,23 @@ def _build_core(cfg: dict, scene: SceneGeometry, cam: Camera,
     bound = scene.bound_array
     HW = cam.H * cam.W
     if queries_factory is None:
+        # mapping.map_bf16: pack the per-iteration quad atlases to
+        # bfloat16 — halves the gather + pack-write HBM traffic of the
+        # hot sample path (the same trick tracking defaults to,
+        # tracker.py map_bf16).  Mapping differs from tracking in that
+        # the map is BEING optimized: the bf16 cast sits between the
+        # f32 master atlas and the sampler, so the forward reads (and
+        # one rounding of the quad gradient, plane_sample.py
+        # _sample_fused_bwd's final astype) are bf16 while Adam's
+        # state, the master atlases, and all loss math stay f32.
+        # Opt-in (default off = reference-exact f32 reads) — measured
+        # A/B + ATE in PERF.md before any default flip.
+        map_bf16 = bool(m.get("map_bf16", False))
+
         def queries_factory(ms):
-            return make_queries(ms, scene)
+            return make_queries(
+                ms, scene,
+                quad_dtype=jnp.bfloat16 if map_bf16 else None)
 
     if ray_axis is not None:
         # Explicit-collective ray DP (under shard_map): psum'd masked

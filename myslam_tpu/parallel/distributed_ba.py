@@ -162,6 +162,16 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
     HW = cam.H * cam.W
     sqrt_wd = float(np.sqrt(w_depth))
     sqrt_wc = float(np.sqrt(w_color))
+    # mapping.map_bf16 (engine/mapper.py): bf16 quad-atlas reads.
+    quad_dtype = (jnp.bfloat16 if bool(m.get("map_bf16", False))
+                  else None)
+
+    def _pack(ms):
+        q = (pack_quad(ms.sdf_atlas, scene.sdf_layout),
+             pack_quad(ms.color_atlas, scene.color_layout))
+        if quad_dtype is not None:
+            q = (q[0].astype(quad_dtype), q[1].astype(quad_dtype))
+        return q
 
     map_labels = MapState(
         sdf_atlas="planes",
@@ -230,8 +240,7 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
 
     def map_loss(ms, poses, pose_mask, p, i, j, px_depth, px_color,
                  z_vals, valid):
-        quads = (pack_quad(ms.sdf_atlas, scene.sdf_layout),
-                 pack_quad(ms.color_atlas, scene.color_layout))
+        quads = _pack(ms)
         poses = jnp.where(pose_mask[:, None] > 0, poses,
                           jax.lax.stop_gradient(poses))
         c2ws = cam_pose_to_matrix(poses)
@@ -253,8 +262,7 @@ def make_distributed_ba(cfg: dict, scene, cam, mesh: Mesh,
     def pose_system(ms, poses, p, i, j, px_depth, px_color, z_vals, valid):
         """psum'd reduced pose normal equations H (W,7,7), g (W,7)."""
         ms = jax.lax.stop_gradient(ms)
-        quads = (pack_quad(ms.sdf_atlas, scene.sdf_layout),
-                 pack_quad(ms.color_atlas, scene.color_layout))
+        quads = _pack(ms)
 
         def r_one(pose7, i1, j1, d1, c1, z1):
             c2w = cam_pose_to_matrix(pose7[None])[0]
@@ -428,6 +436,9 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
     bound = scene.bound_array
     sqrt_wd = float(np.sqrt(w_depth))
     sqrt_wc = float(np.sqrt(w_color))
+    # mapping.map_bf16 (engine/mapper.py): bf16 quad-atlas reads.
+    quad_dtype = (jnp.bfloat16 if bool(m.get("map_bf16", False))
+                  else None)
 
     label_tree = {
         "map": MapState(
@@ -480,7 +491,7 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
             bound)
         inside = (t_exit >= px_depth) & valid
 
-        q = make_queries(ms, scene)
+        q = make_queries(ms, scene, quad_dtype=quad_dtype)
         depth, color, sdf, z_vals = render_core(
             key, scene, rays_o, rays_d, px_depth, importance, q)
         dmask = inside & (px_depth > 0)
@@ -501,7 +512,7 @@ def make_kf_frame_mapper(cfg: dict, scene, cam, selector, w_max: int,
         per iteration (no pose gradient flows through them, matching the
         reference's no-grad z construction)."""
         ms = jax.lax.stop_gradient(ms)
-        q = make_queries(ms, scene)
+        q = make_queries(ms, scene, quad_dtype=quad_dtype)
         c2ws = cam_pose_to_matrix(poses)
         rays_o, rays_d = rays_from_uv(
             i, j, c2ws[p], cam.fx, cam.fy, cam.cx, cam.cy)

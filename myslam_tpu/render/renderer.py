@@ -114,17 +114,27 @@ class FieldQueries:
 def make_queries(ms: MapState, scene: SceneGeometry,
                  sdf_quad=None, color_quad=None,
                  need_color: bool = True,
-                 jvp_safe: bool = False) -> FieldQueries:
+                 jvp_safe: bool = False,
+                 quad_dtype=None) -> FieldQueries:
     """FieldQueries over packed quad atlases (packs here if not given).
 
     ``jvp_safe`` samples through the plain differentiable path instead of
     the hand-VJP kernel — for forward-mode consumers (custom_vjp forbids
     jvp); everything in-repo uses reverse mode.  Same forward math.
+
+    ``quad_dtype`` (e.g. jnp.bfloat16) casts quads packed HERE before
+    sampling — read-precision reduction between the f32 master atlases
+    and the gather (mapping.map_bf16); loss math stays f32
+    (plane_sample weights in f32 regardless of atlas dtype).
     """
     if sdf_quad is None:
         sdf_quad = pack_quad(ms.sdf_atlas, scene.sdf_layout)
+        if quad_dtype is not None:
+            sdf_quad = sdf_quad.astype(quad_dtype)
     if need_color and color_quad is None:
         color_quad = pack_quad(ms.color_atlas, scene.color_layout)
+        if quad_dtype is not None:
+            color_quad = color_quad.astype(quad_dtype)
     rm_sdf = _row_map(scene.sdf_layout)
     rm_color = _row_map(scene.color_layout)
     sample = sample_quad_reduced if jvp_safe else sample_fused

@@ -106,11 +106,15 @@ def main():
     cfg["mapping"]["pixels"] = 4000
     cfg["tracking"]["pixels"] = 2000
 
-    # Two math lanes (PERF.md): reference-exact color (topk 0) and the
-    # top-K approximation the synthetic bench headline opts into.
+    # Two math lanes (PERF.md): reference-exact color (topk 0, forced
+    # f32 map reads like bench.py --exact) and the bench-headline
+    # approximation lane (top-K + whatever map_bf16 the config says).
     topk = int(cfg["rendering"].get("color_topk", 0))
+    cfg_exact = copy.deepcopy(cfg)
+    cfg_exact["mapping"]["map_bf16"] = False
     (jax, jnp, cam, scene, ms, poses, mask, slot_kf, kf_colors, kf_depths,
-     mapper, tracker, sdf_layout, color_layout) = build(cfg, color_topk=0)
+     mapper, tracker, sdf_layout, color_layout) = build(
+         cfg_exact, color_topk=0)
     mapper_topk = None
     if topk:
         mapper_topk = build(cfg, color_topk=topk)[10]
@@ -231,6 +235,7 @@ def main():
             round(max(map_topk_ms / n_iters - opt_ms, 0.0), 3)
             if map_topk_ms is not None else None),
         "color_topk": topk,
+        "map_bf16": bool(cfg["mapping"].get("map_bf16", False)),
         "map_opt_ms": round(opt_ms, 3),
         "track_step_ms": round(track_ms, 2),
         "track_iter_ms": round(track_ms / it_n, 3),

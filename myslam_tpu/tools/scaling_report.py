@@ -169,7 +169,8 @@ def main():
     # exact lane is the reference's math (PERF.md lane table).
     lanes = [("reference-exact color", map_iter_ms)]
     if prof is not None and prof.get("map_iter_topk_ms"):
-        lanes.insert(0, (f"top-K color (K={prof.get('color_topk')}, "
+        bf = " + bf16 reads" if prof.get("map_bf16") else ""
+        lanes.insert(0, (f"top-K color (K={prof.get('color_topk')}{bf}, "
                          "bench headline)",
                          float(prof["map_iter_topk_ms"])))
 
@@ -285,8 +286,13 @@ def main():
               "bandwidth is ASSUMED (deliberately conservative for "
               "v5e's 2D torus), not measured.  Bracketing it x0.5 / x1 "
               "/ x2 bounds the projection's uncertainty — the compute "
-              "term needs no bracket (the 1-chip rows reproduce the "
-              "measured bench fps in both lanes):\n")
+              "term is anchored instead: the 1-chip rows follow from "
+              "the profiled iteration times alone, and cross-check "
+              "against the independently MEASURED bench lanes in "
+              "PERF.md within the tunnel's run-to-run variance "
+              "(+-5-15 %; r4 anchor matched to 2-4 %, the r5 "
+              "re-profile reads 7 % conservative on the headline "
+              "lane):\n")
         print("| lane | ring GB/s | chips to 5x | fps @ 8 chips "
               "| x @ 8 chips |")
         print("|---|---|---|---|---|")
