@@ -171,9 +171,12 @@ def main():
         if args.config:
             cmd += ["--config", args.config]
         try:
+            # Budget scales with the run length: the slowest measured
+            # lane (TUM schedule, 5.6 s/frame) plus compile headroom.
             out = subprocess.run(
                 cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                text=True, timeout=1800).stdout
+                text=True, timeout=max(1800, 600 + 15 * args.frames)
+            ).stdout
             rec2 = next(json.loads(ln) for ln in out.splitlines()
                         if ln.startswith("{"))
             rec2.pop("lanes", None)

@@ -260,7 +260,10 @@ class SLAMSystem:
             from myslam_tpu.parallel.sharded_engine import ShardedMapGeometry
             self.mesh = Mesh(
                 np.array(jax.devices()[:self.map_shards]), ("map",))
-            self.sharded_geom = ShardedMapGeometry(self.mesh, self.scene)
+            self.sharded_geom = ShardedMapGeometry(
+                self.mesh, self.scene,
+                quad_dtype=(jnp.bfloat16 if bool(
+                    cfg["mapping"].get("map_bf16", False)) else None))
         if self.kf_shards > 1:
             from jax.sharding import Mesh
             if self.composed_kf_dp:
@@ -1173,6 +1176,21 @@ class SLAMSystem:
         self.drain_wall = time.time()
         self._flush_metrics()
 
+    def _touch_heartbeat(self, idx: int) -> None:
+        """Refresh <output>/HEARTBEAT (process 0).  Called every frame
+        AND at each finalization phase boundary — finalize's checkpoint
+        fetch + meshing take minutes, and a supervisor hang-timeout
+        must not declare a finishing run hung.  --hang-timeout still
+        needs to exceed the longest single phase (frame-0 compile, the
+        mesh extraction, one degraded-link checkpoint fetch)."""
+        if self.proc0:
+            try:
+                with open(os.path.join(self.output, "HEARTBEAT"),
+                          "w") as f:
+                    f.write(f"{idx} {time.time()}\n")
+            except OSError:
+                pass
+
     def _beat(self, idx: int) -> None:
         """Liveness heartbeat + (test-only) fault injection.
 
@@ -1184,13 +1202,7 @@ class SLAMSystem:
         the named process ONCE at the given frame (a marker file in the
         output dir keeps the restarted run alive) — the deterministic
         fault hook the auto-restart e2e test drives."""
-        if self.proc0:
-            try:
-                with open(os.path.join(self.output, "HEARTBEAT"),
-                          "w") as f:
-                    f.write(f"{idx} {time.time()}\n")
-            except OSError:
-                pass
+        self._touch_heartbeat(idx)
         fault = os.environ.get("MYSLAM_FAULT_KILL")
         if fault:
             parts = fault.split(":")
@@ -1229,11 +1241,13 @@ class SLAMSystem:
         (bench.py with a degraded link) skip the big fetch."""
         # Final checkpoint (reference Mapper.py:437-438 saves at the last
         # frame; written here, outside the timed loop).
+        self._touch_heartbeat(self.n_img - 1)
         if checkpoint and self.n_img > 0:
             self._checkpoint(
                 os.path.join(
                     self.output, "ckpts", f"{self.n_img - 1:05d}.npz"),
                 self.n_img - 1)
+        self._touch_heartbeat(self.n_img - 1)
 
         # Final mesh (reference Mapper.py:448-456).  Cross-process, the
         # mesh comes from the full-state checkpoint on one host
@@ -1262,6 +1276,7 @@ class SLAMSystem:
             import traceback
             traceback.print_exc()
             print(f"WARNING: final meshing failed: {e}")
+        self._touch_heartbeat(self.n_img - 1)
         self._metrics_f.flush()
 
     @property

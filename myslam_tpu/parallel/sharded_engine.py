@@ -54,10 +54,15 @@ class ShardedMapGeometry:
     per (mesh, scene) — all mapper/query closures hang off it.
     """
 
-    def __init__(self, mesh: Mesh, scene, axis: str = "map"):
+    def __init__(self, mesh: Mesh, scene, axis: str = "map",
+                 quad_dtype=None):
         self.mesh = mesh
         self.axis = axis
         self.scene = scene
+        # mapping.map_bf16 (engine/mapper.py): cast the banded packed
+        # quads before sampling — read-precision only, master atlases
+        # and loss math stay f32.
+        self.quad_dtype = quad_dtype
         n = mesh.shape[axis]
         self.n_shards = n
         self.slayout_sdf = ShardedPlaneLayout(scene.sdf_layout, n)
@@ -124,6 +129,10 @@ class ShardedMapGeometry:
         sdf_quad = self._pack_sdf(ms.sdf_atlas)
         color_quad = (self._pack_color(ms.color_atlas)
                       if need_color else None)
+        if self.quad_dtype is not None:
+            sdf_quad = sdf_quad.astype(self.quad_dtype)
+            if color_quad is not None:
+                color_quad = color_quad.astype(self.quad_dtype)
         sg = jax.lax.stop_gradient
         dec_ng = sg(ms.decoder)
         sdf_quad_ng = sg(sdf_quad)

@@ -306,8 +306,64 @@ def main():
               f"track {track_iter_ms:.2f} ms/iter ({src_t}); "
               f"all-reduce payload {grad_bytes/1e6:.1f} MB/iter at "
               f"{args.ici_gbps:.0f} GB/s effective ring bandwidth.")
+        # Standing sections (r4/r5 evidence; emitted here so SCALING.md
+        # regeneration never drops them — the r5 regen briefly did).
+        # The wire table is validate_scaling.py's measured result on the
+        # compiled HLO; re-run that tool if the dp implementation moves.
+        print(COMM_VALIDATION_MD)
     else:
         print(json.dumps(out))
+
+
+COMM_VALIDATION_MD = """
+## Communication model: validated against the compiled programs
+
+No multi-chip hardware exists in this environment, so wall-clock scaling
+cannot be measured — but the model's communication term CAN be checked
+exactly: `tools/validate_scaling.py` compiles the REAL ray-DP mapping
+chunk for 2/4/8-device meshes (abstract args, nothing executes) and
+reads the collective operations XLA inserted out of the optimized HLO.
+
+Result (room-scale atlases, any n):
+
+| dp impl | collectives per iteration | wire vs model |
+|---|---|---|
+| `shardmap` (default) | ONE all-reduce, 7.59 MB (the gradient pytree) | **1.00x** |
+| `spmd` (with_sharding_constraint) | each atlas gradient all-reduced ~3x (partial scatter grads reduced separately) | 12.1x |
+| `spmd` + `zero_opt` | permute + gather + reduce mix | 13.9x |
+
+The projection table above assumes the model's payload — which the
+default `parallel.dp_impl: shardmap` path (explicit psum of the summed
+gradient pytree inside shard_map, engine/mapper.py) delivers exactly.
+Had the spmd path shipped, the n=8 ring time would have been ~12x
+larger (~3.9 ms/iter at 45 GB/s), capping ray-DP at roughly half the
+projected speedup — this is why the partitioner-placed implementation
+was replaced.  Under shardmap the dense Adam update stays replicated
+(measured 0.14-0.24 ms/iter — <1% of the step; ZeRO row-sharding is
+kept for the spmd path only).
+
+Mechanism correctness on the virtual 8-device mesh:
+tests/test_parallel.py — spmd parity is draw-for-draw; shardmap is
+draw-for-draw up to the per-ray z-jitter (whose draw depends on the
+local batch shape) and EXACT when `rendering.perturb` is off
+(test_dp_shardmap_exact_without_perturb).
+
+## Composed kf x dp mesh (`parallel: {kf_shards: K, devices: D}`)
+
+One 2-axis ('kf','dp') mesh of K·D devices: keyframe imagery shards
+over 'kf' (each row owns its slots' pixels — the multi-host data-
+locality axis), each kf row's ray budget splits over its D 'dp'
+columns, and every loss/gradient psum reduces over both axes
+(distributed_ba.make_kf_frame_mapper).  Comm-wise the gradient
+reduction carries the SAME 7.6 MB payload as flat ray-DP at n = K·D
+(the table above applies at that n); what the composition buys over
+pure ray-DP is that imagery is not replicated K·D ways — per-device
+keyframe HBM divides by K — and over pure kf-sharding that the
+per-device ray work divides by K·D instead of K while slot ownership
+(per-host data feeding on a real pod) stays K-way.  Mechanism
+correctness on the virtual 8-device mesh (2x4 vs 1-device):
+tests/test_kf_dp_composed.py; cross-process composition inherits the
+kf-mode multi-process path (the slot axis is the process axis)."""
 
 
 if __name__ == "__main__":

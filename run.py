@@ -68,6 +68,16 @@ def main():
     args = parser.parse_args()
 
     if args.supervise:
+        if args.nproc > 1:
+            # supervise() rebuilds the child command without the
+            # coordinator wiring; silently restarting one gang member
+            # as a single-process run would be worse than refusing.
+            parser.error(
+                "--supervise composes with single-process runs and "
+                "--launch N local gangs; a real multi-host job is "
+                "supervised by the cluster's gang scheduler (restart "
+                "all hosts with --resume; same newest-checkpoint "
+                "semantics)")
         sys.exit(supervise(args))
 
     if os.environ.get("MYSLAM_FORCE_CPU") == "1":

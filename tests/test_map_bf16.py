@@ -38,6 +38,9 @@ def _setup():
         os.path.join(REPO, "configs", "Synthetic", "room_smoke.yaml"),
         DEFAULT_CONFIG)
     cfg = copy.deepcopy(cfg)
+    # room.yaml (inherited) opts into map_bf16 since r5 — the reference
+    # lane here must be genuine f32 or the A/B is vacuous.
+    cfg["mapping"]["map_bf16"] = False
     cfg["mapping"]["pixels"] = 64
     cfg["rendering"].update(n_stratified=8, n_importance=4, perturb=False)
     cam = Camera.from_cfg(cfg)

@@ -25,6 +25,10 @@ def _smoke_cfg(n_devices: int):
     cfg["data"]["n_frames"] = 6
     cfg["mapping"]["iters_first"] = 20
     cfg["mapping"]["iters"] = 5
+    # f32 reads pinned: these are strict sharded-vs-replicated parity
+    # tests; bf16 read rounding (room.yaml opts in since r5) is the
+    # same magnitude as the asserted reduction-order bounds.
+    cfg["mapping"]["map_bf16"] = False
     cfg["parallel"]["devices"] = n_devices
     return cfg
 

@@ -37,6 +37,11 @@ def setup():
         os.path.join(repo, "configs", "Synthetic", "room_smoke.yaml"),
         DEFAULT_CONFIG)
     cfg = copy.deepcopy(cfg)
+    # f32 reads pinned: the replicated reference mapper honors
+    # mapping.map_bf16 (inherited true from room.yaml since r5) while
+    # the test constructs ShardedMapGeometry directly — parity needs
+    # both sides on the same read precision.
+    cfg["mapping"]["map_bf16"] = False
     cfg["mapping"]["pixels"] = 128
     cam = Camera(H=40, W=56, fx=30.0, fy=30.0, cx=27.5, cy=19.5)
     bound = np.asarray(BOUND, np.float32)
