@@ -59,12 +59,16 @@ def atlas_grad_bytes(cfg) -> int:
 
 def project_dp(n, map_iter_ms, map_opt_ms, track_iter_ms, grad_bytes,
                map_iters, track_iters, every_frame, ici_gbps,
-               fixed_ms_per_frame=2.0, zero_opt=True):
+               fixed_ms_per_frame=2.0, zero_opt=True, floor_ms=0.0):
     """Frames/s of the every_frame group at n-way ray DP (serial
     track-then-map order).
 
-    The loss+grad compute divides by n (ray batches shard; sharded
-    parity in tests/test_parallel.py).  The dense Adam atlas update is
+    The loss+grad compute divides by n ABOVE a measured per-chip floor
+    (ray batches shard; sharded parity in tests/test_parallel.py;
+    floor_ms is the intercept of the on-chip ray-count sweep,
+    tools/bench_raysweep.py — scan/ray bookkeeping and small-batch
+    tiling that strong scaling cannot shard away; 0.0 reproduces the
+    pre-r5 purely-linear assumption).  The dense Adam atlas update is
     REPLICATED work under plain DP (zero_opt=False) and caps scaling;
     with the default ZeRO-style row-sharded optimizer
     (parallel.zero_opt, engine/mapper.make_row_sharder) it divides by n
@@ -76,7 +80,8 @@ def project_dp(n, map_iter_ms, map_opt_ms, track_iter_ms, grad_bytes,
     ring = 2.0 * (n - 1) / n if n > 1 else 0.0
     allreduce_ms = ring * grad_bytes / (ici_gbps * 1e9) * 1e3
     opt_ms = map_opt_ms / n if zero_opt else map_opt_ms
-    map_ms = map_iters * (map_iter_ms / n + opt_ms + allreduce_ms)
+    compute_ms = floor_ms + max(map_iter_ms - floor_ms, 0.0) / n
+    map_ms = map_iters * (compute_ms + opt_ms + allreduce_ms)
     track_ms = every_frame * track_iters * (track_iter_ms / n)
     group_ms = map_ms + track_ms + every_frame * fixed_ms_per_frame
     return every_frame / (group_ms / 1e3)
@@ -85,7 +90,7 @@ def project_dp(n, map_iter_ms, map_opt_ms, track_iter_ms, grad_bytes,
 def project_pipeline(n_track, n_map, map_iter_ms, map_opt_ms,
                      track_iter_ms, grad_bytes, map_iters, track_iters,
                      every_frame, ici_gbps, fixed_ms_per_frame=2.0,
-                     zero_opt=True):
+                     zero_opt=True, floor_ms=0.0):
     """Frames/s with the tracking group and mapping step overlapped on
     disjoint device sets (parallel.pipeline), ray DP inside each set.
     Steady group wall = max(track_group, map_step); the map-snapshot
@@ -95,7 +100,8 @@ def project_pipeline(n_track, n_map, map_iter_ms, map_opt_ms,
     allreduce_ms = ring_m * grad_bytes / (ici_gbps * 1e9) * 1e3
     snapshot_ms = grad_bytes / (ici_gbps * 1e9) * 1e3  # one copy/group
     opt_ms = map_opt_ms / n_map if zero_opt else map_opt_ms
-    map_ms = (map_iters * (map_iter_ms / n_map + opt_ms
+    compute_ms = floor_ms + max(map_iter_ms - floor_ms, 0.0) / n_map
+    map_ms = (map_iters * (compute_ms + opt_ms
                            + allreduce_ms) + snapshot_ms)
     track_ms = every_frame * track_iters * (track_iter_ms / n_track)
     group_ms = max(map_ms, track_ms) + every_frame * fixed_ms_per_frame
@@ -123,6 +129,15 @@ def main():
                     help="override: tracking ms/iter, 1 chip")
     ap.add_argument("--ici-gbps", type=float, default=45.0,
                     help="effective per-direction ring bandwidth, GB/s")
+    ap.add_argument("--raysweep", type=str, default=None,
+                    help="raysweep.json from tools/bench_raysweep.py "
+                         "(default: repo-root raysweep.json if present) "
+                         "— supplies the measured per-chip compute "
+                         "floor per lane")
+    ap.add_argument("--map-floor-ms", type=float, default=None,
+                    help="override: non-shardable mapping ms/iter floor "
+                         "applied to every lane (0 = pre-r5 linear "
+                         "assumption)")
     ap.add_argument("--reference-fps", type=float, default=5.5,
                     help="reference ESLAM e2e fps (paper-derived "
                          "estimate; CUDA unavailable to re-measure)")
@@ -165,41 +180,64 @@ def main():
     map_iters, track_iters = int(m["iters"]), int(t["iters"])
     every = int(m["every_frame"])
 
+    # Per-lane non-shardable compute floor: the intercept of the
+    # on-chip ray-count sweep (tools/bench_raysweep.py, VERDICT r4
+    # weak-item 5 — the compute term's empirical check).  The sweep's
+    # chunk timing includes the Adam update, which project_dp charges
+    # separately, so subtract map_opt_ms from the fitted intercept.
+    sweep_path = args.raysweep or os.path.join(repo, "raysweep.json")
+    sweep = load_profile(sweep_path)
+    sweep_lanes = (sweep or {}).get("lanes", {})
+
+    def floor_for(*keys):
+        if args.map_floor_ms is not None:
+            return args.map_floor_ms, "flag"
+        for k in keys:
+            if k in sweep_lanes:
+                return (max(float(sweep_lanes[k]["fit_floor_ms"])
+                            - map_opt_ms, 0.0),
+                        os.path.basename(sweep_path))
+        return 0.0, "assumed-linear (no raysweep)"
+
+    floor_exact, src_fe = floor_for("exact")
+    floor_topk, src_ft = floor_for("topk_bf16", "topk")
+
     # Lanes: the top-K color lane is what the bench headline runs; the
     # exact lane is the reference's math (PERF.md lane table).
-    lanes = [("reference-exact color", map_iter_ms)]
+    lanes = [("reference-exact color", map_iter_ms, floor_exact)]
     if prof is not None and prof.get("map_iter_topk_ms"):
         bf = " + bf16 reads" if prof.get("map_bf16") else ""
         lanes.insert(0, (f"top-K color (K={prof.get('color_topk')}{bf}, "
                          "bench headline)",
-                         float(prof["map_iter_topk_ms"])))
+                         float(prof["map_iter_topk_ms"]), floor_topk))
 
-    def rows_for(iter_ms, ici=None):
+    def rows_for(iter_ms, floor=0.0, ici=None):
         ici = ici or args.ici_gbps
         dp = []
         for n in (1, 2, 4, 8, 16):
             fps_z = project_dp(n, iter_ms, map_opt_ms, track_iter_ms,
                                grad_bytes, map_iters, track_iters, every,
-                               ici, zero_opt=True)
+                               ici, zero_opt=True, floor_ms=floor)
             fps_r = project_dp(n, iter_ms, map_opt_ms, track_iter_ms,
                                grad_bytes, map_iters, track_iters, every,
-                               ici, zero_opt=False)
+                               ici, zero_opt=False, floor_ms=floor)
             dp.append((n, fps_z, fps_r, fps_z / args.reference_fps))
         pipe = []
         for n_track, n_map in ((1, 1), (1, 3), (2, 6), (4, 12)):
             fps = project_pipeline(n_track, n_map, iter_ms, map_opt_ms,
                                    track_iter_ms, grad_bytes, map_iters,
-                                   track_iters, every, ici)
+                                   track_iters, every, ici,
+                                   floor_ms=floor)
             pipe.append((n_track, n_map, fps, fps / args.reference_fps))
         return dp, pipe
 
-    def cross_5x(iter_ms, ici):
+    def cross_5x(iter_ms, ici, floor=0.0):
         """Smallest chip count whose DP projection reaches 5x the
         reference estimate (scanning 1..32); None if never."""
         for n in range(1, 33):
             fps = project_dp(n, iter_ms, map_opt_ms, track_iter_ms,
                              grad_bytes, map_iters, track_iters, every,
-                             ici, zero_opt=True)
+                             ici, zero_opt=True, floor_ms=floor)
             if fps / args.reference_fps >= 5.0:
                 return n
         return None
@@ -211,15 +249,15 @@ def main():
     # claim carries its uncertainty; the compute term needs no bracket
     # (both lanes' 1-chip rows reproduce the measured bench fps).
     sensitivity = []
-    for lane_name, iter_ms in lanes:
+    for lane_name, iter_ms, floor in lanes:
         for scale in (0.5, 1.0, 2.0):
             ici = args.ici_gbps * scale
             fps8 = project_dp(8, iter_ms, map_opt_ms, track_iter_ms,
                               grad_bytes, map_iters, track_iters, every,
-                              ici, zero_opt=True)
+                              ici, zero_opt=True, floor_ms=floor)
             sensitivity.append({
                 "lane": lane_name, "ici_gbps": ici,
-                "chips_to_5x": cross_5x(iter_ms, ici),
+                "chips_to_5x": cross_5x(iter_ms, ici, floor),
                 "fps_at_8": round(fps8, 2),
                 "x_at_8": round(fps8 / args.reference_fps, 2),
             })
@@ -228,8 +266,8 @@ def main():
     # lane_tables instead of recomputing, and TAG the JSON with the lane
     # they came from (when a top-K profile exists, lanes[0] is the top-K
     # lane, not the reference-exact one older reports carried).
-    lane_tables = [(lanes[0][0], *rows_for(lanes[0][1]))] + [
-        (name, *rows_for(ms)) for name, ms in lanes[1:]]
+    lane_tables = [(lanes[0][0], *rows_for(lanes[0][1], lanes[0][2]))] + [
+        (name, *rows_for(ms, fl)) for name, ms, fl in lanes[1:]]
     _, dp_rows, pipe_rows = lane_tables[0]
 
     out = {
@@ -239,6 +277,10 @@ def main():
             "track_iter_ms": track_iter_ms, "source_track": src_t,
             "profile": profile_path if prof is not None else None,
             "profile_timestamp": (prof or {}).get("timestamp"),
+            "map_floor_ms": {
+                "topk": round(floor_topk, 3), "source_topk": src_ft,
+                "exact": round(floor_exact, 3), "source_exact": src_fe,
+            },
         },
         "projection_lane": lanes[0][0],
         "allreduce_mb_per_map_iter": round(grad_bytes / 1e6, 2),
@@ -301,7 +343,7 @@ def main():
                   f"{s['chips_to_5x']} | {s['fps_at_8']} | "
                   f"{s['x_at_8']}x |")
         print()
-        print(f"Inputs: map {', '.join(f'{n} {m:.2f} ms/iter' for n, m in lanes)} ({src_m}), "
+        print(f"Inputs: map {', '.join(f'{n} {m:.2f} ms/iter (non-shardable floor {fl:.2f})' for n, m, fl in lanes)} ({src_m}; floors {src_ft}), "
               f"opt {map_opt_ms:.2f} ms/iter ({src_o}), "
               f"track {track_iter_ms:.2f} ms/iter ({src_t}); "
               f"all-reduce payload {grad_bytes/1e6:.1f} MB/iter at "
