@@ -165,6 +165,7 @@ def main():
                "--frames", str(args.frames),
                "--warmup-frames", str(args.warmup_frames),
                "--seed", str(args.seed),
+               "--cold-threshold-s", str(args.cold_threshold_s),
                "--output", args.output + "_exactlane"]
         if args.smoke:
             cmd.append("--smoke")

@@ -155,6 +155,7 @@ class SLAMSystem:
         self.n_proc = jax.process_count()
         self.proc0 = jax.process_index() == 0
         self._repl = None  # replicated NamedSharding over the global mesh
+        self._gather_fn = None  # cached jitted all-gather (_host_value)
 
         def _n(name):
             v = int(par.get(name, 1))
@@ -296,6 +297,21 @@ class SLAMSystem:
                     "multi-process runs need parallel.devices: 0 (ray "
                     "DP over all global devices, dp_impl shardmap) or "
                     "parallel.kf_shards: 0")
+            # The configured mesh must span every process: a device
+            # count smaller than the job (e.g. kf_shards: 2 on a
+            # 2-process x 2-device gang) builds a mesh wholly on
+            # process 0's devices — the other processes would launch
+            # nothing and crash at their first cross-process fetch.
+            mesh_procs = {d.process_index
+                          for d in np.asarray(self.mesh.devices).ravel()}
+            if mesh_procs != set(range(self.n_proc)):
+                raise ValueError(
+                    f"multi-process runs need the parallel mesh to span "
+                    f"every process: the configured mesh covers "
+                    f"process(es) {sorted(mesh_procs)} of {self.n_proc} "
+                    f"— use kf_shards/devices: 0 (all global devices) "
+                    f"or counts that consume all "
+                    f"{len(jax.devices())} global devices")
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._repl = NamedSharding(self.mesh, P())
             # Long-lived state lives GLOBALLY on the mesh: every process
@@ -566,7 +582,13 @@ class SLAMSystem:
         if x is None or isinstance(x, np.ndarray):
             return x
         if self._repl is not None and not x.is_fully_addressable:
-            x = jax.jit(lambda y: y, out_shardings=self._repl)(x)
+            if self._gather_fn is None:
+                # One cached wrapper: a fresh jax.jit(lambda ...) per
+                # call would defeat jit's per-callable cache and
+                # re-trace the gather for every checkpoint leaf.
+                self._gather_fn = jax.jit(
+                    lambda y: y, out_shardings=self._repl)
+            x = self._gather_fn(x)
         return np.asarray(x)
 
     @property
@@ -1051,15 +1073,20 @@ class SLAMSystem:
             # load_checkpoint leaves process-LOCAL arrays (committed by
             # its staging jits, which cannot be re-placed cross-process);
             # round them through host numpy onto the global mesh.
+            # _host_value (not plain np.asarray): under kf sharding the
+            # store buffers load_checkpoint wrote into are P('kf')
+            # arrays spanning non-addressable devices and must be
+            # all-gathered first — every process reaches here in the
+            # same order.
             import jax.tree_util as jtu
 
-            host = lambda t: jtu.tree_map(np.asarray, t)  # noqa: E731
+            host = lambda t: jtu.tree_map(self._host_value, t)  # noqa: E731
             self.map_state = self._put(host(self.map_state))
-            self._est_dev = self._put(np.asarray(self._est_dev))
+            self._est_dev = self._put(self._host_value(self._est_dev))
             st = self.store
             st.colors, st.depths = host(st.colors), host(st.depths)
-            st.est_c2w = self._put(np.asarray(st.est_c2w))
-            st.gt_c2w = self._put(np.asarray(st.gt_c2w))
+            st.est_c2w = self._put(self._host_value(st.est_c2w))
+            st.gt_c2w = self._put(self._host_value(st.gt_c2w))
             if self.kf_shards <= 1:
                 st.colors = self._put(st.colors)
                 st.depths = self._put(st.depths)

@@ -325,7 +325,23 @@ def run_product(mode: str = "dp", frames: int = 12, seed: int = 0,
     # on every process; process 0 writes).
     slam._checkpoint(os.path.join(out_dir, "ckpts", "final.npz"),
                      slam.n_img - 1)
+    # Resume must cross the same process topology (r5 review): under kf
+    # sharding load_checkpoint writes into P('kf') store buffers that
+    # span non-addressable devices, and resume() must all-gather them
+    # (scheduler._host_value) before re-placing — plain np.asarray
+    # raised here through round 5.  Verify a fresh system restores the
+    # exact final state on the SAME gang.
+    slam2 = SLAMSystem(cfg, output=out_dir, seed=seed)
+    start = slam2.resume()
+    est_err = float(np.abs(np.asarray(slam2.estimates[:slam.n_img])
+                           - np.asarray(slam.estimates)).max())
+    map_err = float(jnp.abs(slam2.map_state.sdf_atlas
+                            - slam.map_state.sdf_atlas).max())
+    resume_ok = float(start == slam.n_img
+                      and slam2.store.count == slam.store.count
+                      and est_err == 0.0 and map_err == 0.0)
     out = {
+        "resume_ok": resume_ok,
         "est": slam.estimates,
         "map_losses": np.concatenate(
             [np.asarray(l) for l in map_losses]),
@@ -337,6 +353,34 @@ def run_product(mode: str = "dp", frames: int = 12, seed: int = 0,
         f"final map loss {out['map_losses'][-1]:.4f}, "
         f"ATE-proxy |t| {np.abs(out['est'][:, :3, 3]).max():.3f}")
     return out
+
+
+def run_validate(mode: str = "kf", frames: int = 4, seed: int = 0,
+                 log=print) -> dict:
+    """The scheduler must REJECT a multi-process config whose mesh does
+    not span every process (r5 review): a kf_shards/devices count
+    smaller than the job builds a mesh wholly on process 0's devices —
+    process 0 would then run the whole job solo while every other
+    process crashes at its first cross-process fetch."""
+    import tempfile
+
+    import jax
+
+    from myslam_tpu.engine.scheduler import SLAMSystem
+
+    cfg = product_cfg(frames, mode)
+    n_local = len(jax.local_devices())
+    cfg["parallel"] = ({"kf_shards": n_local} if mode == "kf"
+                       else {"devices": n_local, "dp_impl": "shardmap"})
+    try:
+        SLAMSystem(cfg, output=tempfile.mkdtemp(prefix="val_"),
+                   seed=seed)
+    except ValueError as e:
+        assert "span every process" in str(e), str(e)
+        log(f"validate[{mode}]: undersized mesh rejected: {e}")
+        return {"rejected": 1.0}
+    log(f"validate[{mode}]: undersized mesh was ACCEPTED (bug)")
+    return {"rejected": 0.0}
 
 
 def run_bigstep(mode: str = "dp", frames: int = 3, seed: int = 0,
@@ -474,7 +518,7 @@ def worker_main(argv=None) -> None:
     p.add_argument("--coordinator", required=True)
     p.add_argument("--mode", default="dp", choices=("dp", "kf"))
     p.add_argument("--loop", default="mini",
-                   choices=("mini", "product", "bigstep"))
+                   choices=("mini", "product", "bigstep", "validate"))
     p.add_argument("--frames", type=int, default=6)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="")
@@ -490,7 +534,7 @@ def worker_main(argv=None) -> None:
     init_distributed(coordinator=args.coordinator,
                      num_processes=args.nproc, process_id=args.pid)
     runner = {"mini": run_minislam, "product": run_product,
-              "bigstep": run_bigstep}[args.loop]
+              "bigstep": run_bigstep, "validate": run_validate}[args.loop]
     out = runner(args.mode, frames=args.frames, seed=args.seed)
     if args.out and jax.process_index() == 0:
         with open(args.out, "w") as f:

@@ -380,7 +380,9 @@ def main():
                   f"{s['chips_to_5x']} | {s['fps_at_8']} | "
                   f"{s['x_at_8']}x |")
         print()
-        print(f"Inputs: map {', '.join(f'{n} {m:.2f} ms/iter (non-shardable floor {fl:.2f})' for n, m, fl in lanes)} ({src_m}; floors {src_ft}), "
+        floors_src = (src_ft if src_ft == src_fe
+                      else f"topk {src_ft}, exact {src_fe}")
+        print(f"Inputs: map {', '.join(f'{n} {m:.2f} ms/iter (non-shardable floor {fl:.2f})' for n, m, fl in lanes)} ({src_m}; floors {floors_src}), "
               f"opt {map_opt_ms:.2f} ms/iter ({src_o}), "
               f"track {track_iter_ms:.2f} ms/iter ({src_t}); "
               f"all-reduce payload {grad_bytes/1e6:.1f} MB/iter at "

@@ -57,3 +57,17 @@ def test_product_cross_process_parity(mode):
     assert abs(out["map_sum"] - ref["map_sum"]) / ref["map_sum"] < 0.01
     # The run made real progress (mapping converged below its start).
     assert r[-1] < r[0] and o[-1] < o[0]
+    # A fresh SLAMSystem on the same gang restored the exact final
+    # state from the checkpoint (r5 review: kf-sharded store buffers
+    # must be all-gathered, not np.asarray'd, on the resume path).
+    assert ref["resume_ok"] == 1.0
+    assert out["resume_ok"] == 1.0
+
+
+def test_product_rejects_undersized_mesh():
+    """A multi-process config whose mesh covers only process 0's
+    devices must be rejected at construction (r5 review): otherwise
+    process 0 runs the job solo and the rest crash mid-run."""
+    out = launch(2, 2, mode="kf", frames=4, loop="validate",
+                 timeout=600.0)
+    assert out["rejected"] == 1.0
